@@ -1,0 +1,385 @@
+"""K-Planes field — functional, TPU-first.
+
+Re-design of the reference's ``fields/kplanes_field.py``.  The torch
+nn.Module pair (KPlanesField / KPlanesDensityField) becomes pure
+init/apply functions over a param pytree; tcnn MLPs become bf16 matmul
+MLPs (ops/mlp.py); F.grid_sample becomes ops/grid_sample.py.
+
+Plane inventory per scale (ref: kplanes_field.py:61-65): k-choose-2 planes
+over the input coords — for 4D video (XY, XZ, XT, YZ, YT, ZT), for 3D
+static (XY, XZ, YZ).  Time planes init to 1 (multiplicative identity),
+space planes U(a, b) (ref: kplanes_field.py:66-72).  Plane layout here is
+[res_c2, res_c1, F] (features last).
+
+Known reference defects intentionally fixed (SURVEY §7.5):
+  * kplanes_field.py:422 references Frustums without importing it — here
+    the proposal density query is a plain positions+times function.
+  * KPlanesDensityField.get_density leaves bounded positions in [0, 1]
+    (kplanes_field.py:440) where the main field maps to [-1, 1]
+    (kplanes_field.py:283-284); we use [-1, 1] in both (intended behavior —
+    grid_sample coords are defined on [-1, 1]).
+  * ``times`` is optional everywhere (static scenes), fixing the static
+    density_fn crash (models/kplanes.py:350-352).
+"""
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from soccernerfs_tpu.core.math import (
+    components_from_spherical_harmonics,
+    scene_contraction,
+    trunc_exp,
+)
+from soccernerfs_tpu.core.scene_box import SceneBox
+from soccernerfs_tpu.ops.grid_sample import sample_plane_bilinear
+from soccernerfs_tpu.ops.mlp import init_mlp, mlp_apply
+
+
+def plane_combinations(in_dim: int):
+    """(c1, c2) index pairs defining each plane (ref: kplanes_field.py:61-65)."""
+    return list(itertools.combinations(range(in_dim), 2))
+
+
+def init_plane_grids(
+    rng: jax.Array,
+    out_dim: int,
+    reso: Sequence[int],
+    a: float = 0.1,
+    b: float = 0.5,
+):
+    """Initialize one scale's k-choose-2 feature planes.
+
+    Mirrors init_kplanes_field (ref: kplanes_field.py:47-74): time planes
+    (those touching coord 3) init to ones, space planes to U(a, b).
+    Returns a list of [res_c2, res_c1, out_dim] arrays.
+    """
+    in_dim = len(reso)
+    has_time = in_dim == 4
+    grids = []
+    for c1, c2 in plane_combinations(in_dim):
+        shape = (reso[c2], reso[c1], out_dim)
+        if has_time and 3 in (c1, c2):
+            grids.append(jnp.ones(shape, jnp.float32))
+        else:
+            rng, key = jax.random.split(rng)
+            grids.append(jax.random.uniform(key, shape, jnp.float32, a, b))
+    return grids
+
+
+def interpolate_kplanes(
+    pts: jnp.ndarray,
+    ms_grids,
+    concat_features: bool,
+    freeze_time_planes: bool = False,
+    freeze_space_planes: bool = False,
+) -> jnp.ndarray:
+    """Query multiscale planes: per-plane bilinear sample, Hadamard product
+    over planes, concat/sum over scales (ref: kplanes_field.py:77-126).
+
+    Args:
+        pts: [M, 3] or [M, 4] normalized coordinates in [-1, 1].
+        ms_grids: list (scales) of lists (planes) of [H, W, F] arrays.
+    Returns:
+        [M, F * num_scales] if concat else [M, F].
+    """
+    combs = plane_combinations(pts.shape[-1])
+    has_time = pts.shape[-1] == 4
+    per_scale = []
+    for grids in ms_grids:
+        interp_space = 1.0
+        for ci, (c1, c2) in enumerate(combs):
+            is_time_plane = has_time and 3 in (c1, c2)
+            if freeze_time_planes and is_time_plane:
+                continue
+            grid = grids[ci]
+            if freeze_space_planes and not is_time_plane:
+                grid = jax.lax.stop_gradient(grid)
+            coords = pts[..., (c1, c2)]  # (x indexes W=res_c1, y indexes H=res_c2)
+            interp_space = interp_space * sample_plane_bilinear(grid, coords)
+        per_scale.append(interp_space)
+    if concat_features:
+        return jnp.concatenate(per_scale, axis=-1)
+    out = per_scale[0]
+    for p in per_scale[1:]:
+        out = out + p
+    return out
+
+
+@dataclass(frozen=True)
+class KPlanesFieldConfig:
+    """Static config for the main K-Planes field
+    (ref: kplanes_field.py:129-167 constructor args)."""
+
+    spacetime_resolution: Tuple[int, ...] = (256, 256, 256, 150)
+    feat_dim: int = 16
+    multiscale_res: Tuple[int, ...] = (1,)
+    concat_features_across_scales: bool = False
+    linear_decoder: bool = True
+    linear_decoder_layers: int = 1
+    use_appearance_embedding: bool = False
+    appearance_dim: int = 27
+    num_images: int = 0
+    disable_viewing_dependent: bool = False
+    sigma_net_layers: int = 1
+    sigma_net_hidden_dim: int = 64
+    rgb_net_layers: int = 2
+    rgb_net_hidden_dim: int = 64
+    bounded: bool = True
+    freeze_time_planes: bool = False
+    freeze_space_planes: bool = False
+    geo_feat_dim: int = 15
+    sh_degree: int = 4
+
+    @property
+    def has_time_planes(self) -> bool:
+        return len(self.spacetime_resolution) == 4
+
+    @property
+    def feature_dim(self) -> int:
+        if self.concat_features_across_scales:
+            return self.feat_dim * len(self.multiscale_res)
+        return self.feat_dim
+
+    @property
+    def appearance_embedding_dim(self) -> int:
+        return self.appearance_dim if self.use_appearance_embedding else 0
+
+
+def init_kplanes_field(rng: jax.Array, cfg: KPlanesFieldConfig) -> dict:
+    """Build the param pytree for the main field.
+
+    Layout mirrors the reference module tree (ref: kplanes_field.py:182-273):
+      grids           list[scale][plane] of [H, W, F]
+      sigma_net       MLP feature_dim -> geo_feat_dim+1 (or -> 1 linear)
+      color_net       MLP -> 3 (non-linear decoder path)
+      color_basis     MLP dirs(+app) -> 3*feature_dim (linear decoder path)
+      appearance_embedding  [num_images, appearance_dim]
+    """
+    params: dict = {}
+    grid_rng, mlp_rng = jax.random.split(rng)
+    keys = jax.random.split(mlp_rng, 4)
+
+    grids = []
+    for res_mult in cfg.multiscale_res:
+        resolution = [r * res_mult for r in cfg.spacetime_resolution[:3]]
+        if cfg.has_time_planes:
+            resolution.append(cfg.spacetime_resolution[3])
+        grid_rng, key_g = jax.random.split(grid_rng)
+        grids.append(init_plane_grids(key_g, cfg.feat_dim, resolution))
+    params["grids"] = grids
+
+    if cfg.linear_decoder:
+        params["color_basis"] = init_mlp(
+            keys[0],
+            3 + cfg.appearance_embedding_dim,
+            128,
+            cfg.linear_decoder_layers,
+            3 * cfg.feature_dim,
+        )
+        params["sigma_net"] = init_mlp(keys[1], cfg.feature_dim, 128, 0, 1)
+    else:
+        params["sigma_net"] = init_mlp(
+            keys[1],
+            cfg.feature_dim,
+            cfg.sigma_net_hidden_dim,
+            cfg.sigma_net_layers,
+            cfg.geo_feat_dim + 1,
+        )
+        in_dim_color = cfg.geo_feat_dim + cfg.appearance_embedding_dim
+        if not cfg.disable_viewing_dependent:
+            in_dim_color += cfg.sh_degree**2
+        params["color_net"] = init_mlp(
+            keys[2], in_dim_color, cfg.rgb_net_hidden_dim, cfg.rgb_net_layers, 3
+        )
+
+    if cfg.use_appearance_embedding:
+        params["appearance_embedding"] = jax.random.normal(
+            keys[3], (cfg.num_images, cfg.appearance_dim), jnp.float32
+        )
+    return params
+
+
+def normalize_positions(
+    positions: jnp.ndarray, aabb: jnp.ndarray, bounded: bool
+) -> jnp.ndarray:
+    """World positions -> [-1, 1] plane coordinates.
+
+    bounded: aabb-normalize then affine to [-1, 1]
+    (ref: kplanes_field.py:282-284); unbounded: MipNeRF-360 L_inf
+    contraction to [-2, 2] then halve (ref: kplanes_field.py:279-280).
+    """
+    if bounded:
+        positions = SceneBox.get_normalized_positions(positions, aabb)
+        return positions * 2.0 - 1.0
+    return scene_contraction(positions, order=jnp.inf) / 2.0
+
+
+def _spacetime_coords(cfg_has_time, positions, times):
+    if cfg_has_time and times is not None:
+        t = times * 2.0 - 1.0  # [0,1] -> [-1,1] (ref: kplanes_field.py:288-291)
+        return jnp.concatenate([positions, t[..., None]], axis=-1)
+    return positions
+
+
+def kplanes_density(
+    cfg: KPlanesFieldConfig,
+    params: dict,
+    aabb: jnp.ndarray,
+    positions: jnp.ndarray,
+    times: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Density + geometric features at world positions.
+
+    Mirrors KPlanesField.get_density (ref: kplanes_field.py:275-312).
+
+    Args:
+        positions: [M, 3] world positions; times: [M] in [0, 1] or None.
+    Returns:
+        (density [M], features [M, geo_feat_dim or feature_dim]).
+    """
+    pts = normalize_positions(positions, aabb, cfg.bounded)
+    pts = _spacetime_coords(cfg.has_time_planes, pts, times)
+
+    features = interpolate_kplanes(
+        pts,
+        params["grids"],
+        concat_features=cfg.concat_features_across_scales,
+        freeze_time_planes=cfg.freeze_time_planes,
+        freeze_space_planes=cfg.freeze_space_planes,
+    )
+    if cfg.linear_decoder:
+        density_before = mlp_apply(
+            params["sigma_net"], features, activation="none", output_activation="none"
+        )[..., 0]
+    else:
+        out = mlp_apply(
+            params["sigma_net"], features, activation="relu", output_activation="none"
+        )
+        features, density_before = out[..., : cfg.geo_feat_dim], out[..., -1]
+    return trunc_exp(density_before), features
+
+
+def kplanes_rgb(
+    cfg: KPlanesFieldConfig,
+    params: dict,
+    features: jnp.ndarray,
+    directions: jnp.ndarray,
+    camera_indices: Optional[jnp.ndarray] = None,
+    train: bool = True,
+) -> jnp.ndarray:
+    """Color from geometric features + view directions.
+
+    Mirrors KPlanesField.get_outputs (ref: kplanes_field.py:314-358):
+    non-linear path concatenates SH-encoded dirs (unless view-independence)
+    and optional appearance embeddings into the color MLP; linear path
+    predicts a per-point color basis from raw dirs and dots it with the
+    features.  At eval, appearance embeddings use their mean
+    (ref: kplanes_field.py:329-335).
+
+    Args:
+        features: [M, D]; directions: [M, 3] unit; camera_indices: [M] int.
+    Returns:
+        rgb [M, 3] in [0, 1].
+    """
+    if cfg.linear_decoder or cfg.disable_viewing_dependent:
+        color_features = [features]
+    else:
+        encoded_dirs = components_from_spherical_harmonics(cfg.sh_degree, directions)
+        color_features = [encoded_dirs, features]
+
+    dirs_input = directions
+    if cfg.use_appearance_embedding:
+        emb = params["appearance_embedding"]
+        if train:
+            assert camera_indices is not None
+            embedded = jnp.take(emb, camera_indices, axis=0)
+        else:
+            embedded = jnp.broadcast_to(
+                jnp.mean(emb, axis=0), (directions.shape[0], emb.shape[-1])
+            )
+        if cfg.linear_decoder:
+            dirs_input = jnp.concatenate([dirs_input, embedded], axis=-1)
+        else:
+            color_features.append(embedded)
+
+    color_features = jnp.concatenate(color_features, axis=-1)
+
+    if cfg.linear_decoder:
+        basis = mlp_apply(
+            params["color_basis"], dirs_input, activation="relu", output_activation="none"
+        )
+        basis = basis.reshape(*color_features.shape[:-1], 3, cfg.feature_dim)
+        rgb = jnp.sum(color_features[..., None, :] * basis, axis=-1)
+        return jax.nn.sigmoid(rgb)
+    return mlp_apply(
+        params["color_net"], color_features, activation="relu", output_activation="sigmoid"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Proposal density field — ref: kplanes_field.py:373-463
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class KPlanesDensityFieldConfig:
+    """Static config for one proposal density field
+    (ref: kplanes_field.py:376-407)."""
+
+    resolution: Tuple[int, ...] = (128, 128, 128)
+    feature_dim: int = 8
+    linear_decoder: bool = True
+    bounded: bool = True
+    freeze_time_planes: bool = False
+    freeze_space_planes: bool = False
+
+    @property
+    def has_time_planes(self) -> bool:
+        return len(self.resolution) == 4
+
+
+def init_kplanes_density_field(
+    rng: jax.Array, cfg: KPlanesDensityFieldConfig
+) -> dict:
+    """Single-scale planes (init U(0.1, 0.15), ref: kplanes_field.py:396)
+    plus a 64-wide 1-hidden-layer sigma net."""
+    k1, k2 = jax.random.split(rng)
+    return {
+        "grids": [init_plane_grids(k1, cfg.feature_dim, cfg.resolution, a=0.1, b=0.15)],
+        "sigma_net": init_mlp(k2, cfg.feature_dim, 64, 1, 1),
+    }
+
+
+def kplanes_density_field_density(
+    cfg: KPlanesDensityFieldConfig,
+    params: dict,
+    aabb: jnp.ndarray,
+    positions: jnp.ndarray,
+    times: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Density-only query for proposal sampling
+    (ref: kplanes_field.py:410-460; defects fixed per module docstring).
+
+    Args:
+        positions: [M, 3]; times: [M] or None.
+    Returns:
+        density [M].
+    """
+    pts = normalize_positions(positions, aabb, cfg.bounded)
+    pts = _spacetime_coords(cfg.has_time_planes, pts, times)
+    features = interpolate_kplanes(
+        pts,
+        params["grids"],
+        concat_features=False,
+        freeze_time_planes=cfg.freeze_time_planes,
+        freeze_space_planes=cfg.freeze_space_planes,
+    )
+    activation = "none" if cfg.linear_decoder else "relu"
+    density_before = mlp_apply(
+        params["sigma_net"], features, activation=activation, output_activation="none"
+    )[..., 0]
+    return trunc_exp(density_before)
