@@ -1,0 +1,137 @@
+"""Benchmark: K-Planes train throughput (rays/sec/chip) on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 5M train rays/sec/chip on TPU v5e (BASELINE.json).
+
+Workload mirrors the reference's `k-planes` method defaults
+(nerfstudio method_configs.py:481-560): 4096 rays/batch,
+256+128 proposal + 64 nerf samples/ray, multiscale 1-16 over
+64^3 x 100, feature dim 32 — the throughput metric of record
+(TRAIN_RAYS_PER_SEC, ref: engine/trainer.py:225-231).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+    from soccernerfs_tpu.core.cameras import Cameras, generate_rays
+    from soccernerfs_tpu.models import kplanes
+
+    cfg = kplanes.Config(
+        spacetime_resolution=(64, 64, 64, 100),
+        feature_dim=32,
+        multiscale_res=(1, 2, 4, 8, 16),
+        proposal_net_args_list=(
+            {"feature_dim": 8, "resolution": (128, 128, 128, 100)},
+            {"feature_dim": 8, "resolution": (256, 256, 256, 100)},
+        ),
+        num_proposal_samples_per_ray=(256, 128),
+        num_nerf_samples_per_ray=64,
+        sigma_net_hidden_dim=128,
+        disable_viewing_dependent=True,
+    )
+    batch_size = 4096
+
+    params = kplanes.init(jax.random.PRNGKey(0), cfg, num_train_data=20)
+    aabb = jnp.asarray([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+
+    n_cams = 20
+    rng = np.random.default_rng(0)
+    c2w = np.zeros((n_cams, 3, 4), np.float32)
+    for i in range(n_cams):
+        th = 2 * np.pi * i / n_cams
+        # look-at-origin pose
+        z = np.array([np.cos(th), np.sin(th), 0.5])
+        z = z / np.linalg.norm(z)
+        x = np.cross(np.array([0.0, 0.0, 1.0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w[i, :, 0], c2w[i, :, 1], c2w[i, :, 2] = x, y, z
+        c2w[i, :, 3] = z * 2.5
+    cameras = Cameras.create(
+        camera_to_worlds=c2w,
+        fx=800.0, fy=800.0, cx=480.0, cy=270.0, width=960, height=540,
+        times=np.linspace(0, 1, n_cams).astype(np.float32),
+    )
+
+    optimizer = optax.adam(1e-2, eps=1e-12)
+    aux = kplanes.init_aux(cfg)
+    state = {
+        "params": params,
+        "opt_state": optimizer.init(params),
+        "step": jnp.asarray(0, jnp.int32),
+        "aux": aux,
+    }
+
+    def train_step(state, cam_idx, coords, image):
+        step = state["step"]
+        sched_kwargs, new_aux = kplanes.schedules(cfg, step, state["aux"])
+        rng = jax.random.fold_in(jax.random.PRNGKey(1), step)
+        batch = {"image": image}
+
+        def loss_fn(p):
+            rays = generate_rays(cameras, cam_idx, coords)
+            outputs = kplanes.get_outputs(
+                cfg, p, aabb, rays, rng=rng, train=True, **sched_kwargs
+            )
+            loss_dict = kplanes.get_loss_dict(cfg, p, outputs, batch, {})
+            loss = sum(loss_dict.values())
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        updates, opt_state = optimizer.update(grads, state["opt_state"])
+        new_params = optax.apply_updates(state["params"], updates)
+        return (
+            {"params": new_params, "opt_state": opt_state, "step": step + 1, "aux": new_aux},
+            loss,
+        )
+
+    step_fn = jax.jit(train_step, donate_argnums=0)
+
+    def make_batch(i):
+        r = np.random.default_rng(i)
+        return (
+            jnp.asarray(r.integers(0, n_cams, (batch_size,)).astype(np.int32)),
+            jnp.asarray(
+                np.stack(
+                    [r.uniform(0, 540, batch_size), r.uniform(0, 960, batch_size)], -1
+                ).astype(np.float32)
+            ),
+            jnp.asarray(r.uniform(0, 1, (batch_size, 3)).astype(np.float32)),
+        )
+
+    # warmup / compile
+    batches = [make_batch(i) for i in range(8)]
+    state, loss = step_fn(state, *batches[0])
+    jax.block_until_ready(loss)
+
+    n_steps = 50
+    t0 = time.time()
+    for i in range(n_steps):
+        state, loss = step_fn(state, *batches[i % len(batches)])
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+
+    rays_per_sec = batch_size * n_steps / dt
+    baseline = 5_000_000.0
+    print(
+        json.dumps(
+            {
+                "metric": "kplanes_train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Method registry (ref: configs/method_configs.py).
+
+Maps method names to fully-specified TrainerConfigs.  Hyperparameters
+mirror the reference registry exactly (citations per method); the
+``k-planes`` family is the fork's core contribution.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+from soccernerfs_tpu.configs.base import PipelineConfig, TrainerConfig, ViewerConfig
+from soccernerfs_tpu.core.camera_optimizer import CameraOptimizerConfig
+from soccernerfs_tpu.data.datamanager import (
+    DynamicDataManagerConfig,
+    VanillaDataManagerConfig,
+)
+from soccernerfs_tpu.data.dataparsers.blender import BlenderDataParserConfig
+from soccernerfs_tpu.data.dataparsers.soccer import StadiumDataParserConfig
+from soccernerfs_tpu.engine.optimizers import AdamOptimizerConfig, RAdamOptimizerConfig
+from soccernerfs_tpu.engine.schedulers import (
+    CosineDecaySchedulerConfig,
+    ExponentialDecaySchedulerConfig,
+)
+from soccernerfs_tpu.models import kplanes as kplanes_model
+
+method_configs: Dict[str, TrainerConfig] = {}
+descriptions = {
+    "k-planes": "Dynamic NeRF on multiscale feature planes (fork default).",
+    "k-planes-static": "Static 3-plane K-Planes with ISG sampling.",
+}
+
+# K-Planes loss coefficients shared by both fork methods
+# (ref: method_configs.py:452-470 & 535-553)
+_KPLANES_LOSS_COEF = (
+    ("rgb_loss", 1.0),
+    ("interlevel_loss", 1.0),
+    ("distortion_loss", 0.001),
+    ("space_tv_loss", 0.02),
+    ("time_smoothness_loss", 1.0),
+    ("sparse_transients_loss", 0.001),
+    ("space_tv_proposal_loss", 0.02),
+    ("time_smoothness_proposal_loss", 1.0),
+    ("sparse_transients_proposal_loss", 0.001),
+    ("depth_loss", 0.05),
+)
+
+# --- k-planes (dynamic; ref: method_configs.py:481-560) --------------------
+method_configs["k-planes"] = TrainerConfig(
+    method_name="k-planes",
+    steps_per_eval_batch=1000,
+    steps_per_save=10000,
+    save_only_latest_checkpoint=False,
+    steps_per_eval_all_images=100000,
+    steps_per_eval_image=500,
+    max_num_iterations=30000,
+    mixed_precision=True,
+    pipeline=PipelineConfig(
+        datamanager=DynamicDataManagerConfig(
+            dataparser=StadiumDataParserConfig(),
+            train_num_rays_per_batch=4096,
+            eval_num_rays_per_batch=512,
+            train_num_images_to_sample_from=2500,
+            train_num_times_to_repeat_images=1000,
+            eval_num_images_to_sample_from=100,
+            eval_num_times_to_repeat_images=5000,
+            use_importance_sampling=True,
+            is_pixel_ratio=0.15,
+            isg=False,
+            ist_range=1.0,
+            isg_gamma=5e-2,
+            iters_to_start_is=2000,
+            camera_optimizer=CameraOptimizerConfig(mode="off"),
+        ),
+        model_name="kplanes",
+        model=kplanes_model.Config(
+            eval_num_rays_per_chunk=1 << 15,
+            multiscale_res=(1, 2, 4, 8, 16),
+            spacetime_resolution=(64, 64, 64, 100),
+            feature_dim=32,
+            concat_features_across_scales=True,
+            disable_viewing_dependent=True,
+            proposal_net_args_list=(
+                {"feature_dim": 8, "resolution": (128, 128, 128, 100)},
+                {"feature_dim": 8, "resolution": (256, 256, 256, 100)},
+            ),
+            sigma_net_layers=1,
+            sigma_net_hidden_dim=128,
+            rgb_net_layers=2,
+            rgb_net_hidden_dim=64,
+            num_proposal_samples_per_ray=(256, 128),
+            num_nerf_samples_per_ray=64,
+            bounded=True,
+            loss_coefficients=_KPLANES_LOSS_COEF,
+            depth_sigma=0.01,
+            is_euclidean_depth=False,
+        ),
+    ),
+    optimizers={
+        "proposal_networks": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-12),
+            "scheduler": CosineDecaySchedulerConfig(
+                warm_up_end=512, max_steps=30000, learning_rate_alpha=0
+            ),
+        },
+        "fields": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-12),
+            "scheduler": CosineDecaySchedulerConfig(
+                warm_up_end=512, max_steps=30000, learning_rate_alpha=0
+            ),
+        },
+    },
+    viewer=ViewerConfig(num_rays_per_chunk=1 << 16),
+    vis="wandb",
+)
+
+# --- k-planes-static (ref: method_configs.py:398-479) ----------------------
+method_configs["k-planes-static"] = TrainerConfig(
+    method_name="k-planes-static",
+    steps_per_eval_batch=1000,
+    steps_per_save=5000,
+    save_only_latest_checkpoint=False,
+    steps_per_eval_all_images=100000,
+    steps_per_eval_image=500,
+    max_num_iterations=20000,
+    mixed_precision=True,
+    pipeline=PipelineConfig(
+        datamanager=DynamicDataManagerConfig(
+            dataparser=StadiumDataParserConfig(),
+            train_num_rays_per_batch=8192,
+            eval_num_rays_per_batch=1024,
+            train_num_images_to_sample_from=1000,
+            train_num_times_to_repeat_images=2000,
+            eval_num_images_to_sample_from=50,
+            eval_num_times_to_repeat_images=5000,
+            use_importance_sampling=True,
+            is_pixel_ratio=0.15,
+            isg=True,
+            ist_range=0.25,
+            iters_to_start_is=2000,
+            camera_optimizer=CameraOptimizerConfig(mode="off"),
+        ),
+        model_name="kplanes",
+        model=kplanes_model.Config(
+            eval_num_rays_per_chunk=1 << 16,
+            multiscale_res=(1, 2, 4, 8, 16),
+            spacetime_resolution=(64, 64, 64),
+            feature_dim=32,
+            concat_features_across_scales=True,
+            disable_viewing_dependent=True,
+            proposal_net_args_list=(
+                {"feature_dim": 8, "resolution": (128, 128, 128)},
+                {"feature_dim": 8, "resolution": (256, 256, 256)},
+            ),
+            sigma_net_layers=1,
+            sigma_net_hidden_dim=64,
+            rgb_net_layers=2,
+            rgb_net_hidden_dim=64,
+            num_proposal_samples_per_ray=(256, 128),
+            num_nerf_samples_per_ray=64,
+            bounded=True,
+            loss_coefficients=_KPLANES_LOSS_COEF,
+            depth_sigma=0.01,
+            is_euclidean_depth=False,
+        ),
+    ),
+    optimizers={
+        "proposal_networks": {
+            "optimizer": AdamOptimizerConfig(lr=0.01, eps=1e-8),
+            "scheduler": CosineDecaySchedulerConfig(
+                warm_up_end=512, max_steps=20000, learning_rate_alpha=0
+            ),
+        },
+        "fields": {
+            "optimizer": AdamOptimizerConfig(lr=0.01, eps=1e-8),
+            "scheduler": CosineDecaySchedulerConfig(
+                warm_up_end=512, max_steps=20000, learning_rate_alpha=0
+            ),
+        },
+    },
+    viewer=ViewerConfig(num_rays_per_chunk=1 << 16),
+    vis="wandb",
+)

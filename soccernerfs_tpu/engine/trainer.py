@@ -1,0 +1,390 @@
+"""Trainer: one jitted, mesh-sharded train step + host orchestration.
+
+TPU-native re-design of the reference Trainer (ref: engine/trainer.py:90-448).
+What was a python loop of module calls + AMP + DDP becomes:
+
+  * ``train_step`` — a single jitted function (donated state) doing
+    raygen -> proposal sampling -> field eval -> render -> losses ->
+    grads -> optax update.  Data-parallel by construction: the ray batch
+    is sharded over the mesh's ``data`` axis, params replicated, XLA
+    inserts the grad all-reduce (replaces DDP+NCCL,
+    ref: pipelines/base_pipeline.py:244-246, scripts/train.py:124-137).
+  * bf16 matmuls with fp32 master weights replace autocast+GradScaler
+    (ref: trainer.py:382-409).
+  * training callbacks become pure per-step schedule functions threaded
+    through ``TrainState.aux`` (ref: engine/callbacks.py).
+
+Host side keeps the reference cadence: eval batch/image every N steps,
+checkpoints, rays/s + ETA events, profiler (ref: trainer.py:195-260).
+"""
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from soccernerfs_tpu import models as model_registry
+from soccernerfs_tpu.core.camera_optimizer import (
+    apply_camera_optimizer,
+    init_camera_optimizer,
+)
+from soccernerfs_tpu.core.cameras import Cameras, generate_rays, get_image_coords
+from soccernerfs_tpu.configs.base import TrainerConfig
+from soccernerfs_tpu.engine import checkpoints as ckpt
+from soccernerfs_tpu.engine.optimizers import build_optimizers
+from soccernerfs_tpu.parallel import mesh as meshlib
+from soccernerfs_tpu.utils import profiler, writer
+from soccernerfs_tpu.utils.writer import EventName
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+    aux: Any  # model schedule state
+
+
+class Trainer:
+    """(ref: engine/trainer.py:90-448)."""
+
+    def __init__(self, config: TrainerConfig, test_mode: str = "val"):
+        self.config = config
+        self.test_mode = test_mode
+        self.base_dir = config.get_base_dir()
+
+        meshlib.initialize_distributed(config.machine.coordinator)
+        devices = jax.devices()
+        if config.machine.num_devices > 0:
+            devices = devices[: config.machine.num_devices]
+        self.mesh = meshlib.make_data_mesh(devices)
+
+        self.model = model_registry.get_model(config.pipeline.model_name)
+        self.model_cfg = config.pipeline.model
+
+        config.seed_everything()
+
+    # ------------------------------------------------------------------
+    def setup(self):
+        """Build datamanager, params, optimizer, jitted step
+        (ref: trainer.py:132-193)."""
+        config = self.config
+        self.datamanager = config.pipeline.datamanager.setup(
+            test_mode=self.test_mode, seed=config.machine.seed
+        )
+        self.train_cameras: Cameras = self.datamanager.train_cameras
+        self.eval_cameras: Cameras = self.datamanager.eval_cameras
+        self.aabb = jnp.asarray(self.datamanager.train_dataparser_outputs.scene_box.aabb)
+        self.num_train_data = len(self.datamanager.train_dataset)
+
+        rng = jax.random.PRNGKey(config.machine.seed)
+        init_rng, self.train_rng = jax.random.split(rng)
+        params = self.model.init(init_rng, self.model_cfg, self.num_train_data)
+
+        self.cam_opt_cfg = config.pipeline.datamanager.camera_optimizer
+        if self.cam_opt_cfg.mode != "off":
+            rng, cam_rng = jax.random.split(rng)
+            params["camera_opt"] = init_camera_optimizer(
+                cam_rng, self.cam_opt_cfg, self.train_cameras.num_cameras
+            )
+
+        opt_configs = dict(config.optimizers)
+        if self.cam_opt_cfg.mode != "off" and "camera_opt" not in opt_configs:
+            opt_configs["camera_opt"] = {
+                "optimizer": self.cam_opt_cfg_optimizer(),
+                "scheduler": None,
+            }
+        self.optimizer = build_optimizers(opt_configs, tuple(params.keys()))
+        self.opt_configs = opt_configs
+
+        aux = self.model.init_aux(self.model_cfg) if hasattr(self.model, "init_aux") else {}
+        state = TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            step=jnp.asarray(0, jnp.int32),
+            aux=aux,
+        )
+        self.state = meshlib.replicate_tree(state, self.mesh)
+
+        self._maybe_load_checkpoint()
+        self._build_step_fns()
+
+        # persist run metadata (ref: trainer.py:197-201)
+        if meshlib.is_main_process():
+            config.save_config()
+            self.datamanager.train_dataparser_outputs.save_dataparser_transform(
+                self.base_dir / "dataparser_transforms.json"
+            )
+            writer.setup_writers(config.vis, self.base_dir, config.experiment_name)
+            profiler.setup_profiler(config.logging.enable_profiler)
+        return self
+
+    def cam_opt_cfg_optimizer(self):
+        from soccernerfs_tpu.engine.optimizers import AdamOptimizerConfig
+
+        return AdamOptimizerConfig(lr=6e-4, eps=1e-8, weight_decay=1e-2)
+
+    # ------------------------------------------------------------------
+    def _build_step_fns(self):
+        model, model_cfg = self.model, self.model_cfg
+        cam_opt_cfg = self.cam_opt_cfg
+        optimizer = self.optimizer
+        aabb = self.aabb
+        train_cameras = self.train_cameras
+        base_rng = self.train_rng
+
+        def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+            step = state.step
+            rng = jax.random.fold_in(base_rng, step)
+            if hasattr(model, "schedules"):
+                sched_kwargs, new_aux = model.schedules(model_cfg, step, state.aux)
+            else:
+                sched_kwargs, new_aux = {}, state.aux
+
+            def loss_fn(params):
+                cam_opt = apply_camera_optimizer(
+                    cam_opt_cfg, params.get("camera_opt"), batch["cam_idx"]
+                )
+                rays = generate_rays(
+                    train_cameras, batch["cam_idx"], batch["coords"], cam_opt
+                )
+                outputs = model.get_outputs(
+                    model_cfg, params, aabb, rays, rng=rng, train=True, **sched_kwargs
+                )
+                metrics = model.get_metrics_dict(model_cfg, outputs, batch, step)
+                loss_dict = model.get_loss_dict(
+                    model_cfg, params, outputs, batch, metrics, train=True
+                )
+                loss = functools.reduce(jnp.add, loss_dict.values())
+                return loss, (loss_dict, metrics)
+
+            (loss, (loss_dict, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=params, opt_state=opt_state, step=step + 1, aux=new_aux
+            )
+            out_metrics = {"Train Loss": loss, **loss_dict, **metrics}
+            return new_state, out_metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=0)
+
+        def eval_forward(params, cam_idx, coords, cameras: Cameras):
+            rays = generate_rays(cameras, cam_idx, coords)
+            outputs = model.get_outputs(
+                model_cfg, params, aabb, rays, rng=None, train=False
+            )
+            keep = {
+                k: v
+                for k, v in outputs.items()
+                if k in ("rgb", "accumulation", "depth", "median_rgb")
+                or k.startswith("prop_depth")
+            }
+            return keep
+
+        self._eval_forward = jax.jit(eval_forward, static_argnums=())
+
+        def eval_batch_step(params, batch, step):
+            rays = generate_rays(self.eval_cameras, batch["cam_idx"], batch["coords"])
+            rng = jax.random.fold_in(base_rng, step + 1_000_000)
+            outputs = model.get_outputs(
+                model_cfg, params, aabb, rays, rng=rng, train=True
+            )
+            metrics = model.get_metrics_dict(model_cfg, outputs, batch, step)
+            loss_dict = model.get_loss_dict(
+                model_cfg, params, outputs, batch, metrics, train=True
+            )
+            return {**loss_dict, **metrics}
+
+        self._eval_batch_step = jax.jit(eval_batch_step)
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, raw: Dict) -> Dict[str, jnp.ndarray]:
+        indices = raw["indices"]
+        batch = {
+            "cam_idx": indices[:, 0].astype(np.int32),
+            "coords": indices[:, 1:].astype(np.float32) + 0.5,
+            "image": raw["image"].astype(np.float32),
+        }
+        if "depth_image" in raw:
+            batch["depth_image"] = raw["depth_image"].astype(np.float32)
+        return meshlib.shard_batch(batch, self.mesh)
+
+    @profiler.time_function
+    def train_iteration(self, step: int) -> Dict:
+        """(ref: trainer.py:382-412)."""
+        raw = self.datamanager.next_train_raw(step)
+        batch = self._device_batch(raw)
+        self.state, metrics = self._train_step(self.state, batch)
+        return metrics
+
+    @profiler.time_function
+    def eval_iteration(self, step: int) -> Dict:
+        """Eval-batch losses (ref: trainer.py:414-425)."""
+        raw = self.datamanager.next_eval_raw(step)
+        indices = raw["indices"]
+        batch = {
+            "cam_idx": jnp.asarray(indices[:, 0].astype(np.int32)),
+            "coords": jnp.asarray(indices[:, 1:].astype(np.float32)) + 0.5,
+            "image": jnp.asarray(raw["image"].astype(np.float32)),
+        }
+        if "depth_image" in raw:
+            batch["depth_image"] = jnp.asarray(raw["depth_image"].astype(np.float32))
+        return self._eval_batch_step(self.state.params, batch, jnp.asarray(step))
+
+    def render_camera(
+        self, cameras: Cameras, camera_index: int, chunk: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
+        """Chunked whole-image render
+        (ref: models/base_model.py:163-186 get_outputs_for_camera_ray_bundle).
+        Fixed chunk size keeps one compiled program; the tail is padded."""
+        chunk = chunk or getattr(self.model_cfg, "eval_num_rays_per_chunk", 1 << 14)
+        h = int(np.asarray(cameras.height)[camera_index])
+        w = int(np.asarray(cameras.width)[camera_index])
+        coords = np.asarray(get_image_coords(h, w)).reshape(-1, 2)
+        n = coords.shape[0]
+        n_pad = (n + chunk - 1) // chunk * chunk
+        coords = np.concatenate([coords, np.zeros((n_pad - n, 2), np.float32)])
+        cam_idx = np.full((n_pad,), camera_index, np.int32)
+
+        outs = []
+        for i in range(0, n_pad, chunk):
+            o = self._eval_forward(
+                self.state.params,
+                jnp.asarray(cam_idx[i : i + chunk]),
+                jnp.asarray(coords[i : i + chunk]),
+                cameras,
+            )
+            outs.append({k: np.asarray(v) for k, v in o.items()})
+        merged = {
+            k: np.concatenate([o[k] for o in outs])[:n] for k in outs[0]
+        }
+        return {
+            k: v.reshape(h, w, *v.shape[1:]) for k, v in merged.items()
+        }
+
+    def eval_image(self, step: int) -> Dict[str, float]:
+        """Render one eval image + metrics
+        (ref: base_pipeline.py:288-321, trainer.py:426-448)."""
+        idx, _, batch = self.datamanager.next_eval_image(step // max(self.config.steps_per_eval_image, 1))
+        outputs = self.render_camera(self.eval_cameras, idx)
+        gt = np.asarray(batch["image"], np.float32)
+        mse = float(np.mean((outputs["rgb"] - gt) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        writer.put_scalar(EventName.CURR_TEST_PSNR, psnr, step)
+        writer.put_image("Eval Images/img", np.concatenate([gt, outputs["rgb"]], axis=1), step)
+        return {"psnr": psnr, "image_idx": idx}
+
+    # ------------------------------------------------------------------
+    def train(self):
+        """Main loop (ref: trainer.py:195-260)."""
+        config = self.config
+        start_step = int(jax.device_get(self.state.step))
+        num_iters = config.max_num_iterations
+        t_start = time.time()
+        rays_per_batch = self.datamanager.get_train_rays_per_batch()
+
+        for step in range(start_step, num_iters):
+            t0 = time.time()
+            metrics = self.train_iteration(step)
+
+            if step % config.logging.steps_per_log == 0:
+                metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                dt = time.time() - t0
+                writer.put_scalar(EventName.TRAIN_RAYS_PER_SEC, rays_per_batch / dt, step)
+                remaining = (num_iters - step) * dt
+                writer.put_scalar(EventName.ETA, remaining, step)
+                writer.put_dict("Train Loss Dict", metrics, step)
+                writer.put_scalar("Train Loss", metrics["Train Loss"], step)
+
+            if config.steps_per_eval_batch and step_check(step, config.steps_per_eval_batch):
+                eval_metrics = {
+                    k: float(jax.device_get(v)) for k, v in self.eval_iteration(step).items()
+                }
+                writer.put_dict("Eval Loss Dict", eval_metrics, step)
+            if config.steps_per_eval_image and step_check(step, config.steps_per_eval_image):
+                self.eval_image(step)
+            if config.steps_per_eval_all_images and step_check(
+                step, config.steps_per_eval_all_images
+            ):
+                self.eval_all_images(step)
+            if config.steps_per_save and step_check(step, config.steps_per_save, run_at_zero=False):
+                self.save_checkpoint(step)
+            writer.write_out_storage()
+
+        # final checkpoint + flush (ref: trainer.py:245-260)
+        self.save_checkpoint(num_iters - 1)
+        writer.write_out_storage()
+        profiler.flush_profiler()
+        total = time.time() - t_start
+        print(f"training finished: {num_iters - start_step} steps in {total:.1f}s")
+
+    def eval_all_images(self, step: int) -> Dict[str, float]:
+        """Average metrics over every eval image
+        (ref: base_pipeline.py:323-362)."""
+        psnrs = []
+        t0 = time.time()
+        num_rays = 0
+        for idx in range(len(self.datamanager.eval_dataset)):
+            _, _, batch = self.datamanager.next_eval_image(idx)
+            outputs = self.render_camera(self.eval_cameras, idx)
+            gt = np.asarray(batch["image"], np.float32)
+            mse = float(np.mean((outputs["rgb"] - gt) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
+            num_rays += gt.shape[0] * gt.shape[1]
+        dt = time.time() - t0
+        metrics = {
+            "psnr": float(np.mean(psnrs)),
+            "num_rays_per_sec": num_rays / dt,
+            "fps": len(psnrs) / dt,
+        }
+        writer.put_dict("Eval Images Metrics Dict (all images)", metrics, step)
+        return metrics
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, step: int):
+        """(ref: trainer.py:352-380)."""
+        if not meshlib.is_main_process():
+            return
+        state = jax.device_get(self.state)
+        ckpt.save_checkpoint(
+            self.base_dir, step, state, self.config.save_only_latest_checkpoint
+        )
+
+    def _maybe_load_checkpoint(self):
+        """(ref: trainer.py:331-350)."""
+        load_dir = self.config.load_dir
+        if load_dir is None:
+            return
+        target = jax.device_get(self.state)
+        step, state = ckpt.load_checkpoint(Path(load_dir), self.config.load_step, target)
+        state = jax.tree_util.tree_map(jnp.asarray, state)
+        self.state = meshlib.replicate_tree(
+            TrainState(
+                params=state["params"],
+                opt_state=state["opt_state"],
+                step=jnp.asarray(step + 1, jnp.int32),
+                aux=state["aux"],
+            )
+            if isinstance(state, dict)
+            else state,
+            self.mesh,
+        )
+        print(f"resumed from checkpoint step {step}")
+
+
+def step_check(step: int, interval: int, run_at_zero: bool = False) -> bool:
+    """(ref: utils/decorators.py / misc.step_check)."""
+    if interval == 0:
+        return False
+    return (run_at_zero or step != 0) and step % interval == 0

@@ -234,6 +234,26 @@ def proposal_update_decision(
     return updated, new_ssu
 
 
+def init_aux(cfg: Config) -> dict:
+    """Trainer-threaded schedule state: the ProposalNetworkSampler's
+    steps-since-update counter (ref: ray_samplers.py:547-557)."""
+    return {"steps_since_update": jnp.asarray(0, jnp.int32)}
+
+
+def schedules(cfg: Config, step: jnp.ndarray, aux: dict):
+    """Per-step schedule kwargs for get_outputs + updated aux.
+
+    Replaces the reference's BEFORE/AFTER-iteration callbacks
+    (models/kplanes.py:318-347) with pure functions of the step.
+    """
+    anneal = proposal_anneal(cfg, step)
+    updated, ssu = proposal_update_decision(cfg, step, aux["steps_since_update"])
+    return (
+        {"anneal": anneal, "train_proposal_networks": updated},
+        {"steps_since_update": ssu},
+    )
+
+
 def set_nears_and_fars(cfg: Config, ray_bundle: RayBundle, aabb, train: bool) -> RayBundle:
     """Collider: AABB intersection when bounded, constant near/far otherwise
     (ref: models/kplanes.py:276-279; scene_colliders.py:47-134)."""

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from soccernerfs_tpu.core.rays import RaySamples
+from soccernerfs_tpu.ops.searching import searchsorted
 
 EPS = 1.0e-7
 URF_SIGMA_SCALE_FACTOR = 3.0
@@ -34,12 +35,9 @@ def outer(t0_starts, t0_ends, t1_starts, t1_ends, y1):
     cy1 = jnp.concatenate(
         [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1
     )
-    idx_lo = (
-        jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(t1_starts, t0_starts)
-        - 1
-    )
+    idx_lo = searchsorted(t1_starts, t0_starts, side="right") - 1
     idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
-    idx_hi = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(t1_ends, t0_ends)
+    idx_hi = searchsorted(t1_ends, t0_ends, side="right")
     idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
     cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
     cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from soccernerfs_tpu.core.rays import RaySamples
+from soccernerfs_tpu.ops.searching import searchsorted_scalar
 
 BACKGROUND_COLORS = {
     "white": (1.0, 1.0, 1.0),
@@ -78,9 +79,7 @@ def render_depth(
     steps = ray_samples.midpoints()  # [N, S]
     if method == "median":
         cumulative_weights = jnp.cumsum(weights, axis=-1)
-        median_index = jax.vmap(
-            lambda cw: jnp.searchsorted(cw, 0.5, side="left")
-        )(cumulative_weights)
+        median_index = searchsorted_scalar(cumulative_weights, 0.5, side="left")
         median_index = jnp.clip(median_index, 0, steps.shape[-1] - 1)
         return jnp.take_along_axis(steps, median_index[..., None], axis=-1)[..., 0]
     if method == "expected":
@@ -101,9 +100,7 @@ def render_median_rgb(rgb: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
         [N, 3].
     """
     cumulative_weights = jnp.cumsum(weights, axis=-1)
-    median_index = jax.vmap(lambda cw: jnp.searchsorted(cw, 0.5, side="left"))(
-        cumulative_weights
-    )
+    median_index = searchsorted_scalar(cumulative_weights, 0.5, side="left")
     median_index = jnp.clip(median_index, 0, weights.shape[-1] - 1)
     return jnp.take_along_axis(rgb, median_index[:, None, None], axis=-2)[:, 0, :]
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from soccernerfs_tpu.core.rays import RayBundle, RaySamples, spacing_fn
+from soccernerfs_tpu.ops.searching import searchsorted
 
 
 def spaced_samples(
@@ -128,7 +129,7 @@ def pdf_samples(
         [ray_samples.spacing_starts, ray_samples.spacing_ends[..., -1:]], axis=-1
     )  # [N, S_old+1]
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    inds = searchsorted(cdf, u, side="right")
     below = jnp.clip(inds - 1, 0, existing_bins.shape[-1] - 1)
     above = jnp.clip(inds, 0, existing_bins.shape[-1] - 1)
     cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)

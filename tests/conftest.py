@@ -7,16 +7,20 @@ fake-NCCL backend).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# Persistent compilation cache: the test graphs are deep (grad through the
-# whole pipeline) and CPU-XLA compiles are slow; cache across runs.
 import jax  # noqa: E402
 
+# The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS; the config
+# update below is the reliable way to force the CPU backend for tests.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/snt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
