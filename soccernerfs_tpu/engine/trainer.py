@@ -117,8 +117,9 @@ class Trainer:
         self._maybe_load_checkpoint()
         self._build_step_fns()
 
-        # persist run metadata (ref: trainer.py:197-201)
-        if meshlib.is_main_process():
+        # persist run metadata (ref: trainer.py:197-201); eval/inference
+        # rebuilds must not overwrite the training run's artifacts
+        if meshlib.is_main_process() and self.test_mode == "val":
             config.save_config()
             self.datamanager.train_dataparser_outputs.save_dataparser_transform(
                 self.base_dir / "dataparser_transforms.json"
