@@ -21,12 +21,17 @@ from soccernerfs_tpu.engine.schedulers import (
     CosineDecaySchedulerConfig,
     ExponentialDecaySchedulerConfig,
 )
+from soccernerfs_tpu.data.dataparsers.nerfstudio_parser import NerfstudioDataParserConfig
 from soccernerfs_tpu.models import kplanes as kplanes_model
+from soccernerfs_tpu.models import nerfacto as nerfacto_model
+from soccernerfs_tpu.models import nerfplayer_nerfacto as npn_model
 
 method_configs: Dict[str, TrainerConfig] = {}
 descriptions = {
     "k-planes": "Dynamic NeRF on multiscale feature planes (fork default).",
     "k-planes-static": "Static 3-plane K-Planes with ISG sampling.",
+    "nerfacto": "Hash-grid NeRF with proposal sampling (upstream default).",
+    "nerfplayer-nerfacto": "Temporal hash field on the nerfacto backbone.",
 }
 
 # K-Planes loss coefficients shared by both fork methods
@@ -178,5 +183,93 @@ method_configs["k-planes-static"] = TrainerConfig(
         },
     },
     viewer=ViewerConfig(num_rays_per_chunk=1 << 16),
+    vis="wandb",
+)
+
+# --- nerfacto (upstream default; ref: method_configs.py:93-122) -------------
+method_configs["nerfacto"] = TrainerConfig(
+    method_name="nerfacto",
+    steps_per_eval_batch=500,
+    steps_per_save=2000,
+    max_num_iterations=30000,
+    mixed_precision=True,
+    pipeline=PipelineConfig(
+        datamanager=VanillaDataManagerConfig(
+            dataparser=NerfstudioDataParserConfig(),
+            train_num_rays_per_batch=4096,
+            eval_num_rays_per_batch=4096,
+            camera_optimizer=CameraOptimizerConfig(mode="SO3xR3"),
+        ),
+        model_name="nerfacto",
+        model=nerfacto_model.Config(eval_num_rays_per_chunk=1 << 15),
+    ),
+    optimizers={
+        "proposal_networks": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            "scheduler": None,
+        },
+        "fields": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            "scheduler": None,
+        },
+        "camera_opt": {
+            "optimizer": AdamOptimizerConfig(lr=6e-4, eps=1e-8, weight_decay=1e-2),
+            "scheduler": None,
+        },
+    },
+    viewer=ViewerConfig(num_rays_per_chunk=1 << 15),
+    vis="viewer",
+)
+
+# --- nerfplayer-nerfacto (fork method; ref: method_configs.py:616-660) ------
+method_configs["nerfplayer-nerfacto"] = TrainerConfig(
+    method_name="nerfplayer-nerfacto",
+    steps_per_eval_batch=1000,
+    steps_per_eval_all_images=0,
+    steps_per_eval_image=500,
+    steps_per_save=10000,
+    save_only_latest_checkpoint=False,
+    max_num_iterations=30000,
+    mixed_precision=True,
+    pipeline=PipelineConfig(
+        datamanager=DynamicDataManagerConfig(
+            dataparser=StadiumDataParserConfig(),
+            train_num_rays_per_batch=4096,
+            eval_num_rays_per_batch=1024,
+            train_num_images_to_sample_from=3000,
+            train_num_times_to_repeat_images=1000,
+            eval_num_images_to_sample_from=50,
+            eval_num_times_to_repeat_images=5000,
+            use_importance_sampling=True,
+            is_pixel_ratio=0.15,
+            isg=False,
+            ist_range=1.0,
+            iters_to_start_is=3000,
+            camera_optimizer=CameraOptimizerConfig(mode="off"),
+        ),
+        model_name="nerfplayer_nerfacto",
+        model=npn_model.Config(
+            disable_scene_contraction=True,
+            eval_num_rays_per_chunk=1 << 15,
+            log2_hashmap_size=19,
+            temporal_dim=64,
+            temporal_tv_weight=1.0,
+        ),
+    ),
+    optimizers={
+        "proposal_networks": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-12),
+            "scheduler": CosineDecaySchedulerConfig(
+                warm_up_end=512, max_steps=30000, learning_rate_alpha=0
+            ),
+        },
+        "fields": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-12),
+            "scheduler": CosineDecaySchedulerConfig(
+                warm_up_end=512, max_steps=30000, learning_rate_alpha=0
+            ),
+        },
+    },
+    viewer=ViewerConfig(num_rays_per_chunk=65536),
     vis="wandb",
 )

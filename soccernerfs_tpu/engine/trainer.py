@@ -145,6 +145,7 @@ class Trainer:
         def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
             step = state.step
             rng = jax.random.fold_in(base_rng, step)
+            rng, rng_loss = jax.random.split(rng)
             if hasattr(model, "schedules"):
                 sched_kwargs, new_aux = model.schedules(model_cfg, step, state.aux)
             else:
@@ -162,7 +163,7 @@ class Trainer:
                 )
                 metrics = model.get_metrics_dict(model_cfg, outputs, batch, step)
                 loss_dict = model.get_loss_dict(
-                    model_cfg, params, outputs, batch, metrics, train=True
+                    model_cfg, params, outputs, batch, metrics, train=True, rng=rng_loss
                 )
                 loss = functools.reduce(jnp.add, loss_dict.values())
                 return loss, (loss_dict, metrics)

@@ -36,7 +36,10 @@ from soccernerfs_tpu.core.math import (
     trunc_exp,
 )
 from soccernerfs_tpu.core.scene_box import SceneBox
-from soccernerfs_tpu.ops.grid_sample import sample_plane_bilinear
+from soccernerfs_tpu.ops.grid_sample import (
+    sample_plane_bilinear,
+    sample_plane_bilinear_packed,
+)
 from soccernerfs_tpu.ops.mlp import init_mlp, mlp_apply
 
 
@@ -77,6 +80,7 @@ def interpolate_kplanes(
     concat_features: bool,
     freeze_time_planes: bool = False,
     freeze_space_planes: bool = False,
+    packed: bool = True,
 ) -> jnp.ndarray:
     """Query multiscale planes: per-plane bilinear sample, Hadamard product
     over planes, concat/sum over scales (ref: kplanes_field.py:77-126).
@@ -89,6 +93,7 @@ def interpolate_kplanes(
     """
     combs = plane_combinations(pts.shape[-1])
     has_time = pts.shape[-1] == 4
+    sampler = sample_plane_bilinear_packed if packed else sample_plane_bilinear
     per_scale = []
     for grids in ms_grids:
         interp_space = 1.0
@@ -100,7 +105,7 @@ def interpolate_kplanes(
             if freeze_space_planes and not is_time_plane:
                 grid = jax.lax.stop_gradient(grid)
             coords = pts[..., (c1, c2)]  # (x indexes W=res_c1, y indexes H=res_c2)
-            interp_space = interp_space * sample_plane_bilinear(grid, coords)
+            interp_space = interp_space * sampler(grid, coords)
         per_scale.append(interp_space)
     if concat_features:
         return jnp.concatenate(per_scale, axis=-1)

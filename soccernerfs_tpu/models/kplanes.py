@@ -423,6 +423,7 @@ def get_loss_dict(
     batch: dict,
     metrics_dict: Optional[dict] = None,
     train: bool = True,
+    rng=None,
 ) -> dict:
     """Scaled loss dict (ref: models/kplanes.py:414-452)."""
     loss_coef = cfg.loss_coef

@@ -1,0 +1,284 @@
+"""Multi-level (temporal) hash-grid encoders.
+
+TPU-native replacement for the reference's in-tree CUDA temporal grid
+encoder (N1/N2 in SURVEY §2.1; ref: field_components/cuda/csrc/
+temporal_gridencoder.cu + field_components/temporal_grid.py) and for
+tiny-cuda-nn's HashGrid encoding (N3).  One implementation covers both:
+the temporal variant stores ``level_dim + temporal_dim`` channels per
+hash row and selects/interpolates output channels with a time-conditioned
+sliding window; the static variant is the ``temporal_dim=0`` special case.
+
+Design notes (vs the CUDA kernels):
+  * per-level tables are one flat [rows, channels] array with offsets,
+    like the reference (temporal_grid.py:203-224);
+  * spatial hashing uses the torch-ngp prime XOR hash
+    (temporal_gridencoder.cu:47-61) with modulo table size; levels whose
+    dense grid fits use direct (tiled) indexing;
+  * corner gathers are jnp.take rows (contiguous channels last) — the
+    Pallas fused variant lives in ops/pallas/;
+  * gradients flow through jnp.take's transpose (segment-sum scatter),
+    replacing the CUDA atomicAdd backward (temporal_gridencoder.cu:284).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclass(frozen=True)
+class HashGridConfig:
+    """(ref: temporal_grid.py:160-230 constructor; tcnn HashGrid params)."""
+
+    temporal_dim: int = 0  # 0 => plain InstantNGP grid
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    per_level_scale: float = 2.0
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    desired_resolution: Optional[int] = None
+    gridtype: str = "hash"  # hash | tiled
+    align_corners: bool = False
+
+    @property
+    def scale(self) -> float:
+        if self.desired_resolution is not None:
+            return float(
+                np.exp2(
+                    np.log2(self.desired_resolution / self.base_resolution)
+                    / max(self.num_levels - 1, 1)
+                )
+            )
+        return self.per_level_scale
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    @property
+    def row_channels(self) -> int:
+        return self.level_dim + self.temporal_dim
+
+
+@functools.lru_cache(maxsize=None)
+def level_layout(cfg: HashGridConfig) -> Tuple[Tuple[int, ...], Tuple[float, ...], Tuple[int, ...]]:
+    """(offsets, scales, resolutions) per level.
+
+    Follows the CUDA kernel's convention (temporal_gridencoder.cu:
+    kernel_grid setup, matching torch-ngp): per-level ``scale`` =
+    2^(l * log2(per_level_scale)) * H - 1 and ``resolution`` =
+    ceil(scale) + 1; rows = min(2^log2_hashmap_size, resolution^D)
+    rounded up to a multiple of 8 (ref: temporal_grid.py:203-224).
+    """
+    offsets = []
+    scales = []
+    resolutions = []
+    offset = 0
+    max_params = 2**cfg.log2_hashmap_size
+    for i in range(cfg.num_levels):
+        scale = cfg.scale**i * cfg.base_resolution - 1.0
+        resolution = int(np.ceil(scale)) + 1
+        rows = min(max_params, resolution**cfg.input_dim)
+        rows = int(np.ceil(rows / 8) * 8)
+        offsets.append(offset)
+        scales.append(scale)
+        resolutions.append(resolution)
+        offset += rows
+    offsets.append(offset)
+    return tuple(offsets), tuple(scales), tuple(resolutions)
+
+
+def init_hash_grid(rng: jax.Array, cfg: HashGridConfig, std: float = 1e-4) -> dict:
+    """U(-1e-4, 1e-4) embedding table (ref: temporal_grid.py:233-234)."""
+    offsets, _, _ = level_layout(cfg)
+    table = jax.random.uniform(
+        rng, (offsets[-1], cfg.row_channels), jnp.float32, -std, std
+    )
+    return {"embeddings": table}
+
+
+# ---------------------------------------------------------------------------
+# Temporal channel-combination tables (ref: temporal_grid.py:231-301)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def temporal_tables(cfg: HashGridConfig):
+    """Build the per-temporal-row channel tables.
+
+    Consecutive temporal rows differ in exactly one channel so the window
+    slides smoothly.  Returns numpy arrays:
+      sampling_index [T-1, C*4] — per output channel (w_a, ch_a, w_b, ch_b)
+      mask_a/mask_b  [T-1, C*4] — where the time-interpolation weights go
+      index_list     [T-1, C+1] — [new_ch, next_ch, shared...] rows used by
+                                  the temporal TV loss.
+    """
+    assert cfg.temporal_dim >= 2
+    level_dim = cfg.level_dim
+    index_init = [0, level_dim] + list(range(1, level_dim))
+    permute_base = list(range(2, level_dim + 1))
+    last_entry = 0
+    index_list = [np.asarray(index_init, np.int64)]
+    permute_list = [np.asarray(permute_base[:0] + [0] + permute_base[0:], np.int64)]
+
+    def to_sampling_index(index, permute, last_entry):
+        row = index[permute]
+        row = np.stack(
+            [np.ones_like(row), row, np.zeros_like(row), np.zeros_like(row)], 1
+        ).reshape(-1)
+        mask_a = np.zeros_like(row, bool)
+        mask_b = np.zeros_like(row, bool)
+        row = row.astype(np.float32)
+        row[last_entry * 4 + 3] = index[1]
+        mask_a[last_entry * 4] = True
+        mask_b[last_entry * 4 + 2] = True
+        return row, mask_a, mask_b
+
+    row, ma, mb = to_sampling_index(index_list[0], permute_list[0], last_entry)
+    sampling_index, mask_a_list, mask_b_list = [row], [ma], [mb]
+    for _ in range(1, cfg.temporal_dim - 1):
+        last_entry += 1
+        if last_entry >= level_dim:
+            last_entry = 0
+        last_max = int(index_list[-1].max())
+        last_min = int(index_list[-1].min())
+        tem_permute = permute_list[-1].copy()
+        tem_permute[tem_permute == 0] += 1
+        prev = index_list[-1][1:][tem_permute - 1].tolist()
+        prev.pop(last_entry)
+        new_index = np.asarray([last_min + 1, last_max + 1] + prev, np.int64)
+        new_permute = np.asarray(
+            permute_base[:last_entry] + [0] + permute_base[last_entry:], np.int64
+        )
+        index_list.append(new_index)
+        permute_list.append(new_permute)
+        row, ma, mb = to_sampling_index(new_index, new_permute, last_entry)
+        sampling_index.append(row)
+        mask_a_list.append(ma)
+        mask_b_list.append(mb)
+
+    return (
+        np.stack(sampling_index),
+        np.stack(mask_a_list),
+        np.stack(mask_b_list),
+        np.stack(index_list),
+    )
+
+
+def get_temporal_index(cfg: HashGridConfig, time: jnp.ndarray) -> jnp.ndarray:
+    """time [B] in [0,1] -> [B, C*4] (w_a, ch_a, w_b, ch_b) rows
+    (ref: temporal_grid.py:320-334)."""
+    sampling_index, mask_a, mask_b, _ = temporal_tables(cfg)
+    n_rows = sampling_index.shape[0]
+    row_val = time * (n_rows - 1)
+    row_idx = jnp.clip(jnp.floor(row_val).astype(jnp.int32), 0, n_rows - 1)
+    rows = jnp.take(jnp.asarray(sampling_index), row_idx, axis=0)  # [B, C*4]
+    ma = jnp.take(jnp.asarray(mask_a), row_idx, axis=0)
+    mb = jnp.take(jnp.asarray(mask_b), row_idx, axis=0)
+    w_a = (row_idx + 1 - row_val)[:, None]
+    w_b = (row_val - row_idx)[:, None]
+    rows = jnp.where(ma, w_a, rows)
+    rows = jnp.where(mb, w_b, rows)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Encoding
+# ---------------------------------------------------------------------------
+
+def _hash_index(coords: jnp.ndarray, resolution: int, rows: int, cfg, dense: bool) -> jnp.ndarray:
+    """Integer lattice coords [..., D] -> table row indices
+    (ref: temporal_gridencoder.cu:47-90 fast_hash/get_grid_index).
+
+    Dense levels (grid fits in the table) and ``tiled`` mode use direct
+    stride indexing; oversubscribed hash levels use the prime XOR hash.
+    """
+    if (dense and cfg.gridtype == "hash") or cfg.gridtype == "tiled":
+        idx = coords[..., 0]
+        for d in range(1, cfg.input_dim):
+            idx = idx * resolution + coords[..., d]
+        return idx % rows
+    h = coords[..., 0].astype(jnp.uint32) * np.uint32(_PRIMES[0])
+    for d in range(1, cfg.input_dim):
+        h = h ^ (coords[..., d].astype(jnp.uint32) * np.uint32(_PRIMES[d % 3]))
+    return (h % np.uint32(rows)).astype(jnp.int32)
+
+
+def hash_grid_encode(
+    cfg: HashGridConfig,
+    params: dict,
+    xyz: jnp.ndarray,
+    time: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Encode points (optionally with time) -> [B, num_levels * level_dim].
+
+    Args:
+        xyz: [B, input_dim] in [0, 1].
+        time: [B] in [0, 1]; required when cfg.temporal_dim > 0.
+    """
+    offsets, scales, resolutions = level_layout(cfg)
+    table = params["embeddings"]
+    B = xyz.shape[0]
+    D = cfg.input_dim
+    n_corners = 2**D
+
+    if cfg.temporal_dim > 0:
+        assert time is not None
+        tri = get_temporal_index(cfg, time)  # [B, C*4]
+        tri = tri.reshape(B, cfg.level_dim, 4)
+        w_a, ch_a = tri[..., 0], tri[..., 1].astype(jnp.int32)
+        w_b, ch_b = tri[..., 2], tri[..., 3].astype(jnp.int32)
+
+    corner_offsets = np.stack(
+        np.meshgrid(*([np.arange(2)] * D), indexing="ij"), axis=-1
+    ).reshape(-1, D)  # [2^D, D]
+
+    outputs = []
+    for lvl in range(cfg.num_levels):
+        res = resolutions[lvl]
+        rows = offsets[lvl + 1] - offsets[lvl]
+        dense = res**D <= rows
+
+        # CUDA convention: pos = x * scale + (align_corners ? 0 : 0.5),
+        # corners in [0, resolution-1] (temporal_gridencoder.cu kernel_grid)
+        pos = xyz * scales[lvl] + (0.0 if cfg.align_corners else 0.5)
+        pos0 = jnp.floor(pos)
+        frac = pos - pos0
+        pos0 = pos0.astype(jnp.int32)
+
+        level_out = 0.0
+        for c in range(n_corners):
+            off = corner_offsets[c]
+            # no clamp: the CUDA kernel wraps out-of-grid corners through
+            # the stride/hash modulo (get_grid_index has no clip)
+            corner = pos0 + off
+            idx = _hash_index(corner, res, rows, cfg, dense) + offsets[lvl]
+            feats = jnp.take(table, idx, axis=0)  # [B, row_channels]
+            if cfg.temporal_dim > 0:
+                fa = jnp.take_along_axis(feats, ch_a, axis=-1)
+                fb = jnp.take_along_axis(feats, ch_b, axis=-1)
+                feats = w_a * fa + w_b * fb  # [B, level_dim]
+            w = jnp.prod(
+                jnp.where(off[None, :] == 1, frac, 1.0 - frac), axis=-1, keepdims=True
+            )
+            level_out = level_out + w * feats
+        outputs.append(level_out)
+    return jnp.concatenate(outputs, axis=-1)
+
+
+def temporal_tv_loss(cfg: HashGridConfig, params: dict, rng: jax.Array) -> jnp.ndarray:
+    """TV between a random pair of adjacent temporal channels
+    (ref: temporal_grid.py:352-377)."""
+    _, _, _, index_list = temporal_tables(cfg)
+    row_idx = jax.random.randint(rng, (), 0, index_list.shape[0])
+    feat_idx = jnp.take(jnp.asarray(index_list), row_idx, axis=0)
+    table = params["embeddings"]
+    a = jnp.take(table, feat_idx[0], axis=1)
+    b = jnp.take(table, feat_idx[1], axis=1)
+    return jnp.mean(jnp.abs(a - b))

@@ -1,0 +1,109 @@
+"""Per-model smoke tests: forward + losses + grads on tiny configs.
+
+Mirrors the reference's test_train.py pattern of touching every method
+(SURVEY §4.1) at unit granularity.
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from soccernerfs_tpu.core.rays import RayBundle
+from soccernerfs_tpu.models import nerfacto, nerfplayer_nerfacto
+
+
+def make_rays(n=6, with_times=True):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    dirs = jax.random.normal(k2, (n, 3))
+    return RayBundle(
+        origins=jax.random.uniform(k1, (n, 3), minval=-0.3, maxval=0.3),
+        directions=dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True),
+        pixel_area=jnp.full((n,), 1e-4),
+        camera_indices=jnp.zeros((n,), jnp.int32),
+        times=jnp.linspace(0, 1, n) if with_times else None,
+        directions_norm=jnp.ones((n,)),
+    )
+
+
+AABB = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+
+
+def _run_model(model, cfg, rays, batch):
+    params = model.init(jax.random.PRNGKey(0), cfg, num_train_data=3)
+    aux = model.init_aux(cfg)
+    sched, aux2 = model.schedules(cfg, jnp.asarray(0), aux)
+
+    def loss_fn(p):
+        outputs = model.get_outputs(
+            cfg, p, AABB, rays, rng=jax.random.PRNGKey(1), train=True, **sched
+        )
+        metrics = model.get_metrics_dict(cfg, outputs, batch, 0)
+        ld = model.get_loss_dict(
+            cfg, p, outputs, batch, metrics, train=True, rng=jax.random.PRNGKey(2)
+        )
+        return sum(jnp.asarray(v) for v in ld.values()), (outputs, ld)
+
+    (loss, (outputs, ld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert jnp.isfinite(loss)
+    assert outputs["rgb"].shape == (rays.origins.shape[0], 3)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
+    return outputs, ld
+
+
+def test_nerfacto_smoke():
+    cfg = nerfacto.Config(
+        num_levels=4,
+        max_res=64,
+        log2_hashmap_size=10,
+        num_proposal_samples_per_ray=(12, 8),
+        num_nerf_samples_per_ray=6,
+        hidden_dim=16,
+        hidden_dim_color=16,
+        proposal_net_args_list=(
+            {"hidden_dim": 8, "log2_hashmap_size": 9, "num_levels": 3, "max_res": 32},
+            {"hidden_dim": 8, "log2_hashmap_size": 9, "num_levels": 3, "max_res": 64},
+        ),
+    )
+    rays = make_rays(with_times=False)
+    batch = {"image": jnp.full((6, 3), 0.4)}
+    outputs, ld = _run_model(nerfacto, cfg, rays, batch)
+    assert {"rgb_loss", "interlevel_loss", "distortion_loss"} <= set(ld)
+
+
+def test_nerfacto_predict_normals():
+    cfg = nerfacto.Config(
+        num_levels=3, max_res=32, log2_hashmap_size=9,
+        num_proposal_samples_per_ray=(8,), num_proposal_iterations=1,
+        num_nerf_samples_per_ray=4, hidden_dim=16, hidden_dim_color=16,
+        predict_normals=True,
+        proposal_net_args_list=(
+            {"hidden_dim": 8, "log2_hashmap_size": 9, "num_levels": 3, "max_res": 32},
+        ),
+    )
+    rays = make_rays(with_times=False)
+    batch = {"image": jnp.full((6, 3), 0.4)}
+    outputs, ld = _run_model(nerfacto, cfg, rays, batch)
+    assert "orientation_loss" in ld and "pred_normal_loss" in ld
+    assert outputs["normals"].shape == (6, 3)
+
+
+def test_nerfplayer_nerfacto_smoke():
+    cfg = nerfplayer_nerfacto.Config(
+        num_levels=4,
+        log2_hashmap_size=10,
+        temporal_dim=4,
+        num_proposal_samples_per_ray=(12, 8),
+        num_nerf_samples_per_ray=6,
+        hidden_dim=16,
+        hidden_dim_color=16,
+        disable_scene_contraction=True,
+        proposal_net_args_list=(
+            {"hidden_dim": 8, "temporal_dim": 4, "log2_hashmap_size": 9, "num_levels": 3, "max_res": 32},
+            {"hidden_dim": 8, "temporal_dim": 4, "log2_hashmap_size": 9, "num_levels": 3, "max_res": 64},
+        ),
+    )
+    rays = make_rays(with_times=True)
+    batch = {"image": jnp.full((6, 3), 0.4), "depth_image": jnp.ones((6,))}
+    outputs, ld = _run_model(nerfplayer_nerfacto, cfg, rays, batch)
+    assert {"rgb_loss", "interlevel_loss", "distortion_loss", "temporal_tv_loss",
+            "depth_loss"} <= set(ld)
