@@ -273,3 +273,171 @@ method_configs["nerfplayer-nerfacto"] = TrainerConfig(
     viewer=ViewerConfig(num_rays_per_chunk=65536),
     vis="wandb",
 )
+
+from soccernerfs_tpu.models import nerfplayer as nerfplayer_model
+from soccernerfs_tpu.models import nerfplayer_ngp as npngp_model
+from soccernerfs_tpu.models import instant_ngp as ingp_model
+
+descriptions.update({
+    "nerfplayer": "Full NeRFPlayer: static/deform/new decomposition (fork).",
+    "nerfplayer-ngp": "NeRFPlayer with occupancy-grid NGP backbone.",
+    "instant-ngp": "Occupancy-grid volumetric NeRF (upstream).",
+    "instant-ngp-bounded": "Instant-NGP tuned for bounded dynamic scenes (fork).",
+})
+
+# --- nerfplayer (fork full decomposition; ref: method_configs.py:562-614) ---
+method_configs["nerfplayer"] = TrainerConfig(
+    method_name="nerfplayer",
+    steps_per_eval_batch=1000,
+    steps_per_eval_all_images=0,
+    steps_per_eval_image=500,
+    steps_per_save=10000,
+    save_only_latest_checkpoint=False,
+    max_num_iterations=30000,
+    mixed_precision=True,
+    pipeline=PipelineConfig(
+        datamanager=DynamicDataManagerConfig(
+            dataparser=StadiumDataParserConfig(),
+            camera_optimizer=CameraOptimizerConfig(mode="off"),
+            train_num_rays_per_batch=4096,
+            eval_num_rays_per_batch=1024,
+            train_num_images_to_sample_from=3000,
+            train_num_times_to_repeat_images=1000,
+            eval_num_images_to_sample_from=50,
+            eval_num_times_to_repeat_images=5000,
+            use_importance_sampling=True,
+            is_pixel_ratio=0.1,
+            isg=False,
+            ist_range=0.25,
+            iters_to_start_is=3000,
+        ),
+        model_name="nerfplayer",
+        model=nerfplayer_model.Config(
+            disable_scene_contraction=True,
+            eval_num_rays_per_chunk=1 << 15,
+            log2_hashmap_size=18,
+            temporal_dim=64,
+            depth_weight=0.0,
+            depth_sigma=0.01,
+            prob_reg_loss_mult=0.1,
+            distortion_loss_mult=0.001,
+            temporal_tv_weight=1.0,
+        ),
+    ),
+    optimizers={
+        "proposal_networks": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-6),
+            "scheduler": CosineDecaySchedulerConfig(
+                warm_up_end=512, max_steps=30000, learning_rate_alpha=0
+            ),
+        },
+        "fields": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-6),
+            "scheduler": CosineDecaySchedulerConfig(
+                warm_up_end=512, max_steps=30000, learning_rate_alpha=0
+            ),
+        },
+    },
+    viewer=ViewerConfig(num_rays_per_chunk=64000),
+    vis="wandb",
+)
+
+# --- nerfplayer-ngp (ref: method_configs.py:662-698) ------------------------
+method_configs["nerfplayer-ngp"] = TrainerConfig(
+    method_name="nerfplayer-ngp",
+    steps_per_eval_batch=1000,
+    steps_per_eval_image=500,
+    steps_per_eval_all_images=0,
+    steps_per_save=5000,
+    max_num_iterations=30000,
+    mixed_precision=True,
+    pipeline=PipelineConfig(
+        datamanager=DynamicDataManagerConfig(
+            dataparser=StadiumDataParserConfig(),
+            train_num_rays_per_batch=8192,
+            eval_num_rays_per_batch=4096,
+            train_num_images_to_sample_from=500,
+            train_num_times_to_repeat_images=2000,
+            eval_num_images_to_sample_from=50,
+            eval_num_times_to_repeat_images=5000,
+            use_importance_sampling=True,
+        ),
+        model_name="nerfplayer_ngp",
+        model=npngp_model.Config(
+            eval_num_rays_per_chunk=8192,
+            contraction_type="aabb",
+            render_step_size=0.001,
+            max_num_samples_per_ray=48,
+            near_plane=0.01,
+            temporal_tv_weight=0.05,
+        ),
+        dynamic_batch=True,
+    ),
+    optimizers={
+        "fields": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-12),
+            "scheduler": None,
+        }
+    },
+    viewer=ViewerConfig(num_rays_per_chunk=64000),
+    vis="viewer",
+)
+
+# --- instant-ngp (upstream; ref: method_configs.py:197-215) -----------------
+method_configs["instant-ngp"] = TrainerConfig(
+    method_name="instant-ngp",
+    steps_per_eval_batch=500,
+    steps_per_save=2000,
+    max_num_iterations=30000,
+    mixed_precision=True,
+    pipeline=PipelineConfig(
+        datamanager=VanillaDataManagerConfig(
+            dataparser=NerfstudioDataParserConfig(), train_num_rays_per_batch=8192
+        ),
+        model_name="instant_ngp",
+        model=ingp_model.Config(eval_num_rays_per_chunk=8192),
+        dynamic_batch=True,
+    ),
+    optimizers={
+        "fields": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            "scheduler": None,
+        }
+    },
+    viewer=ViewerConfig(num_rays_per_chunk=64000),
+    vis="viewer",
+)
+
+# --- instant-ngp-bounded (fork-tuned; ref: method_configs.py:217-248) -------
+method_configs["instant-ngp-bounded"] = TrainerConfig(
+    method_name="instant-ngp-bounded",
+    steps_per_eval_batch=500,
+    steps_per_save=2000,
+    max_num_iterations=30000,
+    mixed_precision=True,
+    pipeline=PipelineConfig(
+        datamanager=DynamicDataManagerConfig(
+            dataparser=StadiumDataParserConfig(),
+            train_num_rays_per_batch=8192,
+            use_importance_sampling=True,
+        ),
+        model_name="instant_ngp",
+        model=ingp_model.Config(
+            eval_num_rays_per_chunk=8192,
+            contraction_type="aabb",
+            render_step_size=0.001,
+            max_num_samples_per_ray=48,
+            near_plane=0.01,
+            background_color="black",
+        ),
+        dynamic_batch=True,
+    ),
+    optimizers={
+        "fields": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            "scheduler": None,
+        }
+    },
+    viewer=ViewerConfig(num_rays_per_chunk=64000),
+    vis="viewer",
+)

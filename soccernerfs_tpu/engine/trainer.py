@@ -173,6 +173,10 @@ class Trainer:
             )(state.params)
             updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            if hasattr(model, "update_aux"):
+                # non-trainable state updates (e.g. occupancy grid EMA)
+                rng, rng_aux = jax.random.split(rng)
+                new_aux = model.update_aux(model_cfg, params, aabb, step, new_aux, rng_aux)
             new_state = TrainState(
                 params=params, opt_state=opt_state, step=step + 1, aux=new_aux
             )
@@ -181,10 +185,15 @@ class Trainer:
 
         self._train_step = jax.jit(train_step, donate_argnums=0)
 
-        def eval_forward(params, cam_idx, coords, cameras: Cameras):
+        def eval_forward(params, aux, cam_idx, coords, cameras: Cameras):
             rays = generate_rays(cameras, cam_idx, coords)
+            extra = (
+                model.eval_kwargs(model_cfg, aux)
+                if hasattr(model, "eval_kwargs")
+                else {}
+            )
             outputs = model.get_outputs(
-                model_cfg, params, aabb, rays, rng=None, train=False
+                model_cfg, params, aabb, rays, rng=None, train=False, **extra
             )
             keep = {
                 k: v
@@ -263,6 +272,7 @@ class Trainer:
         for i in range(0, n_pad, chunk):
             o = self._eval_forward(
                 self.state.params,
+                self.state.aux,
                 jnp.asarray(cam_idx[i : i + chunk]),
                 jnp.asarray(coords[i : i + chunk]),
                 cameras,

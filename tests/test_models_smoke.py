@@ -107,3 +107,85 @@ def test_nerfplayer_nerfacto_smoke():
     outputs, ld = _run_model(nerfplayer_nerfacto, cfg, rays, batch)
     assert {"rgb_loss", "interlevel_loss", "distortion_loss", "temporal_tv_loss",
             "depth_loss"} <= set(ld)
+
+
+def test_instant_ngp_smoke():
+    from soccernerfs_tpu.models import instant_ngp
+
+    cfg = instant_ngp.Config(
+        max_res=64, log2_hashmap_size=10, grid_resolution=16,
+        max_num_samples_per_ray=8, num_probes_per_ray=32,
+        contraction_type="aabb",
+    )
+    rays = make_rays(with_times=False)
+    batch = {"image": jnp.full((6, 3), 0.4)}
+    params = instant_ngp.init(jax.random.PRNGKey(0), cfg, 3)
+    aux = instant_ngp.init_aux(cfg)
+    sched, aux = instant_ngp.schedules(cfg, jnp.asarray(0), aux)
+
+    def loss_fn(p):
+        outputs = instant_ngp.get_outputs(
+            cfg, p, AABB, rays, rng=jax.random.PRNGKey(1), train=True, **sched
+        )
+        ld = instant_ngp.get_loss_dict(cfg, p, outputs, batch, None)
+        return sum(ld.values()), outputs
+
+    (loss, outputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert jnp.isfinite(loss)
+    assert outputs["rgb"].shape == (6, 3)
+    # occupancy update runs and changes the grid
+    aux2 = instant_ngp.update_aux(cfg, params, AABB, jnp.asarray(0), aux, jax.random.PRNGKey(5))
+    assert aux2["occs"].shape == aux["occs"].shape
+    # empty grid at init -> all-true fallback in schedules not used; with
+    # all-unoccupied binary grid, rays have no valid samples
+    sched0, _ = instant_ngp.schedules(cfg, jnp.asarray(0), {"occs": jnp.zeros_like(aux["occs"])})
+    o0 = instant_ngp.get_outputs(cfg, params, AABB, rays, rng=jax.random.PRNGKey(1), train=True, **sched0)
+    assert not bool(jnp.any(o0["alive_ray_mask"]))
+
+
+def test_nerfplayer_full_smoke():
+    from soccernerfs_tpu import models
+    nerfplayer = models.get_model("nerfplayer")
+
+    cfg = nerfplayer.Config(
+        num_levels=3, log2_hashmap_size=9, temporal_dim=4,
+        num_proposal_samples_per_ray=(12, 8), num_nerf_samples_per_ray=6,
+        disable_scene_contraction=True,
+        proposal_net_args_list=(
+            {"hidden_dim": 8, "temporal_dim": 4, "log2_hashmap_size": 9, "num_levels": 3, "max_res": 32},
+            {"hidden_dim": 8, "temporal_dim": 4, "log2_hashmap_size": 9, "num_levels": 3, "max_res": 64},
+        ),
+    )
+    rays = make_rays(with_times=True)
+    batch = {"image": jnp.full((6, 3), 0.4), "depth_image": jnp.ones((6,))}
+    outputs, ld = _run_model(nerfplayer, cfg, rays, batch)
+    assert outputs["probs"].shape == (6, 3)
+    assert {"rgb_loss", "interlevel_loss", "distortion_loss", "temporal_tv_loss",
+            "prob_loss", "depth_loss"} <= set(ld)
+
+
+def test_nerfplayer_ngp_smoke():
+    from soccernerfs_tpu.models import nerfplayer_ngp
+
+    cfg = nerfplayer_ngp.Config(
+        num_levels=3, log2_hashmap_size=9, temporal_dim=4, max_res=64,
+        grid_resolution=16, max_num_samples_per_ray=8, num_probes_per_ray=32,
+    )
+    rays = make_rays(with_times=True)
+    batch = {"image": jnp.full((6, 3), 0.4), "depth_image": jnp.ones((6,))}
+    params = nerfplayer_ngp.init(jax.random.PRNGKey(0), cfg, 3)
+    aux = nerfplayer_ngp.init_aux(cfg)
+    sched, aux = nerfplayer_ngp.schedules(cfg, jnp.asarray(0), aux)
+
+    def loss_fn(p):
+        outputs = nerfplayer_ngp.get_outputs(
+            cfg, p, AABB, rays, rng=jax.random.PRNGKey(1), train=True, **sched
+        )
+        ld = nerfplayer_ngp.get_loss_dict(
+            cfg, p, outputs, batch, None, rng=jax.random.PRNGKey(2)
+        )
+        return sum(ld.values()), ld
+
+    (loss, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert jnp.isfinite(loss)
+    assert {"rgb_loss", "depth_loss", "temporal_tv_loss"} <= set(ld)
