@@ -441,3 +441,96 @@ method_configs["instant-ngp-bounded"] = TrainerConfig(
     viewer=ViewerConfig(num_rays_per_chunk=64000),
     vis="viewer",
 )
+
+from soccernerfs_tpu.models import vanilla_nerf as vnerf_model
+from soccernerfs_tpu.models import mipnerf as mipnerf_model
+from soccernerfs_tpu.models import tensorf as tensorf_model
+from soccernerfs_tpu.data.dataparsers.dnerf import DNeRFDataParserConfig
+
+descriptions.update({
+    "vanilla-nerf": "Original NeRF with coarse/fine MLPs.",
+    "mipnerf": "mip-NeRF with integrated positional encoding.",
+    "tensorf": "TensoRF factorized-grid NeRF with coarse-to-fine upsampling.",
+    "dnerf": "Vanilla NeRF on the D-NeRF dynamic blender format.",
+})
+
+# --- vanilla-nerf (ref: method_configs.py:280-305) --------------------------
+method_configs["vanilla-nerf"] = TrainerConfig(
+    method_name="vanilla-nerf",
+    pipeline=PipelineConfig(
+        datamanager=VanillaDataManagerConfig(dataparser=BlenderDataParserConfig()),
+        model_name="vanilla_nerf",
+        model=vnerf_model.Config(),
+    ),
+    optimizers={
+        "fields": {
+            "optimizer": RAdamOptimizerConfig(lr=5e-4, eps=1e-08),
+            "scheduler": None,
+        },
+    },
+    vis="viewer",
+)
+
+# --- dnerf (ref: method_configs.py:330-352) ---------------------------------
+method_configs["dnerf"] = TrainerConfig(
+    method_name="dnerf",
+    pipeline=PipelineConfig(
+        datamanager=VanillaDataManagerConfig(dataparser=DNeRFDataParserConfig()),
+        model_name="vanilla_nerf",
+        model=vnerf_model.Config(),
+    ),
+    optimizers={
+        "fields": {
+            "optimizer": RAdamOptimizerConfig(lr=5e-4, eps=1e-08),
+            "scheduler": None,
+        },
+    },
+    vis="viewer",
+)
+
+# --- mipnerf (ref: method_configs.py:251-270) -------------------------------
+method_configs["mipnerf"] = TrainerConfig(
+    method_name="mipnerf",
+    pipeline=PipelineConfig(
+        datamanager=VanillaDataManagerConfig(
+            dataparser=NerfstudioDataParserConfig(), train_num_rays_per_batch=1024
+        ),
+        model_name="mipnerf",
+        model=mipnerf_model.Config(eval_num_rays_per_chunk=1024),
+    ),
+    optimizers={
+        "fields": {
+            "optimizer": RAdamOptimizerConfig(lr=5e-4, eps=1e-08),
+            "scheduler": None,
+        },
+    },
+    vis="viewer",
+)
+
+# --- tensorf (ref: method_configs.py:307-328) -------------------------------
+method_configs["tensorf"] = TrainerConfig(
+    method_name="tensorf",
+    max_num_iterations=30000,
+    mixed_precision=False,
+    pipeline=PipelineConfig(
+        datamanager=VanillaDataManagerConfig(
+            dataparser=BlenderDataParserConfig(),
+            train_num_rays_per_batch=4096,
+            eval_num_rays_per_batch=4096,
+        ),
+        model_name="tensorf",
+        model=tensorf_model.Config(),
+    ),
+    optimizers={
+        "fields": {
+            "optimizer": AdamOptimizerConfig(lr=0.001),
+            "scheduler": ExponentialDecaySchedulerConfig(lr_final=0.0001, max_steps=30000),
+        },
+        "encodings": {
+            "optimizer": AdamOptimizerConfig(lr=0.02),
+            "scheduler": ExponentialDecaySchedulerConfig(lr_final=0.002, max_steps=30000),
+        },
+    },
+    viewer=ViewerConfig(num_rays_per_chunk=1 << 15),
+    vis="viewer",
+)

@@ -307,6 +307,13 @@ class Trainer:
         rays_per_batch = self.datamanager.get_train_rays_per_batch()
 
         for step in range(start_step, num_iters):
+            if hasattr(self.model, "host_update"):
+                # host-side param reshapes (e.g. TensoRF grid upsampling)
+                new_state = self.model.host_update(
+                    self.model_cfg, self.state, step, self.optimizer
+                )
+                if new_state is not None:
+                    self.state = meshlib.replicate_tree(new_state, self.mesh)
             t0 = time.time()
             metrics = self.train_iteration(step)
 
