@@ -56,8 +56,31 @@ def _resolve(obj: Any, parts: List[str]):
     return obj, parts[-1]
 
 
+def _is_pair_tuple(v) -> bool:
+    return (
+        isinstance(v, tuple)
+        and len(v) > 0
+        and all(isinstance(e, tuple) and len(e) == 2 and isinstance(e[0], str) for e in v)
+    )
+
+
 def set_nested(config: Any, dotted: str, value_tokens: List[str]):
     parts = [p.replace("-", "_") for p in dotted.split(".")]
+    # dict-style fields stored as tuples of (key, value) pairs — e.g.
+    # --pipeline.model.loss-coefficients.space-tv-loss — address the key
+    if len(parts) >= 2:
+        try:
+            parent, attr = _resolve(config, parts[:-1])
+        except AttributeError:
+            raise SystemExit(f"unknown option --{dotted}")
+        if hasattr(parent, attr) and _is_pair_tuple(getattr(parent, attr)):
+            table = dict(getattr(parent, attr))
+            key = parts[-1]
+            if key not in table:
+                raise SystemExit(f"unknown key {key!r} in --{dotted}")
+            table[key] = _coerce(value_tokens, table[key])
+            _frozen_replace(config, parts[:-1], tuple(table.items()))
+            return
     parent, attr = _resolve(config, parts)
     if not hasattr(parent, attr):
         raise SystemExit(f"unknown option --{dotted}")

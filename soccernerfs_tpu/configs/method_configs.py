@@ -534,3 +534,43 @@ method_configs["tensorf"] = TrainerConfig(
     viewer=ViewerConfig(num_rays_per_chunk=1 << 15),
     vis="viewer",
 )
+
+from soccernerfs_tpu.models import depth_nerfacto as depth_nerfacto_model
+
+descriptions["depth-nerfacto"] = "Nerfacto with DS-NeRF depth supervision."
+
+# --- depth-nerfacto (ref: method_configs.py:124-153) ------------------------
+method_configs["depth-nerfacto"] = TrainerConfig(
+    method_name="depth-nerfacto",
+    steps_per_eval_batch=500,
+    steps_per_save=2000,
+    max_num_iterations=30000,
+    mixed_precision=True,
+    pipeline=PipelineConfig(
+        datamanager=DynamicDataManagerConfig(
+            dataparser=NerfstudioDataParserConfig(),
+            train_num_rays_per_batch=4096,
+            eval_num_rays_per_batch=4096,
+            use_importance_sampling=False,
+            camera_optimizer=CameraOptimizerConfig(mode="SO3xR3"),
+        ),
+        model_name="depth_nerfacto",
+        model=depth_nerfacto_model.Config(eval_num_rays_per_chunk=1 << 15),
+    ),
+    optimizers={
+        "proposal_networks": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            "scheduler": None,
+        },
+        "fields": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            "scheduler": None,
+        },
+        "camera_opt": {
+            "optimizer": AdamOptimizerConfig(lr=6e-4, eps=1e-8, weight_decay=1e-2),
+            "scheduler": None,
+        },
+    },
+    viewer=ViewerConfig(num_rays_per_chunk=1 << 15),
+    vis="viewer",
+)

@@ -16,6 +16,7 @@ _MODEL_MODULES = {
     "nerfplayer_nerfacto": "soccernerfs_tpu.models.nerfplayer_nerfacto",
     "nerfplayer_ngp": "soccernerfs_tpu.models.nerfplayer_ngp",
     "vanilla_nerf": "soccernerfs_tpu.models.vanilla_nerf",
+    "depth_nerfacto": "soccernerfs_tpu.models.depth_nerfacto",
     "mipnerf": "soccernerfs_tpu.models.mipnerf",
     "tensorf": "soccernerfs_tpu.models.tensorf",
 }

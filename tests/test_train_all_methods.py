@@ -74,6 +74,8 @@ SMALL_MODEL = {
     ),
 }
 
+SMALL_MODEL["depth_nerfacto"] = SMALL_MODEL["nerfacto"]
+
 DYNAMIC_MODELS = {"kplanes", "nerfplayer", "nerfplayer_nerfacto", "nerfplayer_ngp"}
 
 
