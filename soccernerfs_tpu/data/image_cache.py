@@ -102,15 +102,32 @@ class ImageBatchCache:
         return indices
 
     def _collate(self) -> Dict:
-        """Thread-pooled decode + stack (ref: dataloaders.py:186-239)."""
+        """Image decode + stack.
+
+        Fast path: the native multithreaded libpng/libjpeg decoder
+        (native/snt_loader.cpp) when all selected images share one
+        resolution and no rescale is requested; otherwise the Python
+        thread-pooled decode mirroring the reference
+        (ref: dataloaders.py:186-239).
+        """
         indices = (
             list(range(len(self.dataset))) if self.cache_all else self._pick_indices()
         )
+        images = self._native_decode(indices)
+        if images is not None:
+            batch: Dict = {
+                "image_idx": np.asarray(indices, np.int64),
+                "image": images,
+            }
+            extra = self._collate_metadata(indices)
+            batch.update(extra)
+            return batch
+
         workers = max(1, min(self.num_workers * 4, multiprocessing.cpu_count() - 1))
         with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
             items = list(ex.map(self.dataset.__getitem__, indices))
 
-        batch: Dict = {
+        batch = {
             "image_idx": np.asarray([it["image_idx"] for it in items], np.int64),
             "image": np.stack([it["image"] for it in items]),
         }
@@ -119,6 +136,32 @@ class ImageBatchCache:
         if "depth_image" in items[0]:
             batch["depth_image"] = np.stack([it["depth_image"] for it in items])
         return batch
+
+    def _native_decode(self, indices) -> "np.ndarray | None":
+        from soccernerfs_tpu.data import native_loader
+
+        if self.dataset.scale_factor != 1.0 or not native_loader.available():
+            return None
+        heights = np.asarray(self.dataset.cameras.height)[indices]
+        widths = np.asarray(self.dataset.cameras.width)[indices]
+        if len(set(heights.tolist())) != 1 or len(set(widths.tolist())) != 1:
+            return None
+        paths = [self.dataset.image_filenames[i] for i in indices]
+        return native_loader.decode_batch(
+            paths, int(heights[0]), int(widths[0]), self.dataset.alpha_color
+        )
+
+    def _collate_metadata(self, indices) -> Dict:
+        """Masks/depths for the native-decode path (still Python IO)."""
+        out: Dict = {}
+        first = self.dataset[indices[0]]
+        if "mask" in first or "depth_image" in first:
+            items = [self.dataset[i] for i in indices]
+            if "mask" in first:
+                out["mask"] = np.stack([it["mask"] for it in items])
+            if "depth_image" in first:
+                out["depth_image"] = np.stack([it["depth_image"] for it in items])
+        return out
 
     def next_batch(self) -> Dict:
         """(ref: dataloaders.py:208-240 __iter__)."""

@@ -1,0 +1,137 @@
+"""ctypes bindings for the native data-path runtime (native/snt_loader.cpp).
+
+Auto-builds ``libsnt_loader.so`` on first use (make -C native) and falls
+back to the pure-Python paths when the toolchain or image libraries are
+unavailable — the framework never hard-requires the native library.
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libsnt_loader.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            if not _LIB_PATH.exists():
+                subprocess.run(
+                    ["make", "-C", str(_NATIVE_DIR)],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.snt_decode_batch.restype = ctypes.c_int
+            lib.snt_decode_batch.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int,
+            ]
+            lib.snt_weighted_sample.restype = ctypes.c_int
+            lib.snt_weighted_sample.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.snt_uniform_sample.restype = None
+            lib.snt_uniform_sample.argtypes = [
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_uint64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            _lib = lib
+        except Exception:
+            _lib_failed = True
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_batch(
+    paths: List[Path],
+    height: int,
+    width: int,
+    alpha_color=None,
+    num_threads: int = 8,
+) -> Optional[np.ndarray]:
+    """Decode images to float32 [N, H, W, 3] in [0, 1]; None if the native
+    library is unavailable or any decode failed (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    blob_parts = [str(p).encode() for p in paths]
+    offsets = np.zeros(n, np.int64)
+    pos = 0
+    chunks = []
+    for i, b in enumerate(blob_parts):
+        offsets[i] = pos
+        chunks.append(b + b"\0")
+        pos += len(b) + 1
+    blob = b"".join(chunks)
+    out = np.zeros((n, height, width, 3), np.float32)
+    alpha = np.asarray(
+        alpha_color if alpha_color is not None else [1.0, 1.0, 1.0], np.float32
+    )
+    ok = lib.snt_decode_batch(
+        blob,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        height,
+        width,
+        alpha.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        num_threads,
+    )
+    if ok != n:
+        return None
+    return out
+
+
+def weighted_sample(
+    weights: np.ndarray, k: int, replacement: bool, seed: int
+) -> Optional[np.ndarray]:
+    """k inverse-CDF draws from a flat weight map; None on unavailability."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(weights.reshape(-1), np.float32)
+    out = np.zeros(k, np.int64)
+    produced = lib.snt_weighted_sample(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        w.size,
+        k,
+        1 if replacement else 0,
+        seed & 0xFFFFFFFFFFFFFFFF,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if produced != k:
+        return None
+    return out

@@ -175,9 +175,7 @@ class DynamicBasedPixelSampler(PixelSampler):
             flat = weight_map.reshape(-1)
             support = int(np.count_nonzero(flat))
             replace = support < num_samples
-            samples = self.rng.choice(
-                flat.size, size=num_samples, replace=replace, p=flat / total
-            )
+            samples = self._weighted_choice(flat, total, num_samples, replace)
             h, w = samples // image_width, samples % image_width
             rows.append(
                 np.stack([np.full(num_samples, i), h, w], axis=-1)
@@ -194,3 +192,19 @@ class DynamicBasedPixelSampler(PixelSampler):
             num_unif, num_images, image_height, image_width, mask=mask
         )
         return np.concatenate([ist_indices.astype(np.int64), unif], axis=0)
+
+    def _weighted_choice(self, flat, total, num_samples, replace):
+        """Inverse-CDF draw via the native sampler when available,
+        numpy.choice otherwise."""
+        from soccernerfs_tpu.data import native_loader
+
+        if native_loader.available():
+            seed = int(self.rng.integers(0, 2**62))
+            out = native_loader.weighted_sample(
+                flat.astype(np.float32), num_samples, replace, seed
+            )
+            if out is not None:
+                return out
+        return self.rng.choice(
+            flat.size, size=num_samples, replace=replace, p=flat / total
+        )
