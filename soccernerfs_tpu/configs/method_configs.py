@@ -574,3 +574,48 @@ method_configs["depth-nerfacto"] = TrainerConfig(
     viewer=ViewerConfig(num_rays_per_chunk=1 << 15),
     vis="viewer",
 )
+
+from soccernerfs_tpu.models import nerfplayer_ngp_complete as npngpc_model
+
+descriptions["nerfplayer-ngp-complete"] = (
+    "NGP backbone with the full static/deform/new decomposition (fork)."
+)
+
+# --- nerfplayer-ngp-complete (fork; model at
+# models/nerfplayer_ngp_complete.py — the reference ships the model
+# without a registry entry; registered here for direct use) -----------------
+method_configs["nerfplayer-ngp-complete"] = TrainerConfig(
+    method_name="nerfplayer-ngp-complete",
+    steps_per_eval_batch=1000,
+    steps_per_eval_image=500,
+    steps_per_eval_all_images=0,
+    steps_per_save=5000,
+    max_num_iterations=30000,
+    mixed_precision=True,
+    pipeline=PipelineConfig(
+        datamanager=DynamicDataManagerConfig(
+            dataparser=StadiumDataParserConfig(),
+            train_num_rays_per_batch=8192,
+            eval_num_rays_per_batch=4096,
+            use_importance_sampling=True,
+        ),
+        model_name="nerfplayer_ngp_complete",
+        model=npngpc_model.Config(
+            eval_num_rays_per_chunk=8192,
+            contraction_type="aabb",
+            render_step_size=0.001,
+            max_num_samples_per_ray=48,
+            near_plane=0.01,
+            temporal_tv_weight=0.05,
+        ),
+        dynamic_batch=True,
+    ),
+    optimizers={
+        "fields": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-12),
+            "scheduler": None,
+        }
+    },
+    viewer=ViewerConfig(num_rays_per_chunk=64000),
+    vis="viewer",
+)

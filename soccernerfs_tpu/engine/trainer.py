@@ -306,6 +306,10 @@ class Trainer:
         t_start = time.time()
         rays_per_batch = self.datamanager.get_train_rays_per_batch()
 
+        dynamic_batch = getattr(config.pipeline, "dynamic_batch", False)
+        target_samples = getattr(config.pipeline, "target_num_samples", 1 << 18)
+        base_rays = rays_per_batch
+
         for step in range(start_step, num_iters):
             if hasattr(self.model, "host_update"):
                 # host-side param reshapes (e.g. TensoRF grid upsampling)
@@ -316,6 +320,18 @@ class Trainer:
                     self.state = meshlib.replicate_tree(new_state, self.mesh)
             t0 = time.time()
             metrics = self.train_iteration(step)
+
+            if dynamic_batch and "num_samples_per_batch" in metrics:
+                # DynamicBatchPipeline: scale rays/batch toward the target
+                # sample budget (ref: pipelines/dynamic_batch.py:72-89),
+                # bucketed to powers of two so recompiles stay bounded.
+                num_samples = max(float(jax.device_get(metrics["num_samples_per_batch"])), 1.0)
+                cur = self.datamanager.train_pixel_sampler.num_rays_per_batch
+                desired = cur * target_samples / num_samples
+                bucket = int(2 ** np.clip(np.round(np.log2(desired)), 6, np.log2(base_rays * 4)))
+                if bucket != cur:
+                    self.datamanager.train_pixel_sampler.set_num_rays_per_batch(bucket)
+                rays_per_batch = self.datamanager.train_pixel_sampler.num_rays_per_batch
 
             if step % config.logging.steps_per_log == 0:
                 metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}

@@ -15,6 +15,7 @@ _MODEL_MODULES = {
     "nerfplayer": "soccernerfs_tpu.models.nerfplayer",
     "nerfplayer_nerfacto": "soccernerfs_tpu.models.nerfplayer_nerfacto",
     "nerfplayer_ngp": "soccernerfs_tpu.models.nerfplayer_ngp",
+    "nerfplayer_ngp_complete": "soccernerfs_tpu.models.nerfplayer_ngp_complete",
     "vanilla_nerf": "soccernerfs_tpu.models.vanilla_nerf",
     "depth_nerfacto": "soccernerfs_tpu.models.depth_nerfacto",
     "mipnerf": "soccernerfs_tpu.models.mipnerf",

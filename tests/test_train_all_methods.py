@@ -75,8 +75,12 @@ SMALL_MODEL = {
 }
 
 SMALL_MODEL["depth_nerfacto"] = SMALL_MODEL["nerfacto"]
+SMALL_MODEL["nerfplayer_ngp_complete"] = dict(
+    num_levels=3, log2_hashmap_size=9, temporal_dim=4,
+    grid_resolution=8, max_num_samples_per_ray=6, num_probes_per_ray=16,
+)
 
-DYNAMIC_MODELS = {"kplanes", "nerfplayer", "nerfplayer_nerfacto", "nerfplayer_ngp"}
+DYNAMIC_MODELS = {"kplanes", "nerfplayer", "nerfplayer_nerfacto", "nerfplayer_ngp", "nerfplayer_ngp_complete"}
 
 
 @pytest.fixture(scope="module")
