@@ -619,3 +619,71 @@ method_configs["nerfplayer-ngp-complete"] = TrainerConfig(
     viewer=ViewerConfig(num_rays_per_chunk=64000),
     vis="viewer",
 )
+
+from soccernerfs_tpu.data.datamanager import SemanticDataManagerConfig
+from soccernerfs_tpu.data.dataparsers.sitcoms3d import Sitcoms3DDataParserConfig
+from soccernerfs_tpu.models import neus as neus_model
+from soccernerfs_tpu.models import semantic_nerfw as semantic_model
+
+descriptions.update({
+    "semantic-nerfw": "Nerfacto with a semantic segmentation head (Sitcoms3D).",
+    "neus": "NeuS SDF surface reconstruction with eikonal regularization.",
+})
+
+# --- semantic-nerfw (ref: method_configs.py:270-280) ------------------------
+method_configs["semantic-nerfw"] = TrainerConfig(
+    method_name="semantic-nerfw",
+    steps_per_eval_batch=500,
+    steps_per_save=2000,
+    max_num_iterations=30000,
+    mixed_precision=True,
+    pipeline=PipelineConfig(
+        datamanager=SemanticDataManagerConfig(
+            dataparser=Sitcoms3DDataParserConfig(),
+            train_num_rays_per_batch=4096,
+            eval_num_rays_per_batch=8192,
+        ),
+        model_name="semantic_nerfw",
+        model=semantic_model.Config(eval_num_rays_per_chunk=1 << 16),
+    ),
+    optimizers={
+        "proposal_networks": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            "scheduler": None,
+        },
+        "fields": {
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            "scheduler": None,
+        },
+    },
+    viewer=ViewerConfig(num_rays_per_chunk=1 << 16),
+    vis="viewer",
+)
+
+# --- neus (ref: method_configs.py neus entry) -------------------------------
+method_configs["neus"] = TrainerConfig(
+    method_name="neus",
+    steps_per_eval_batch=500,
+    steps_per_save=2000,
+    max_num_iterations=100000,
+    mixed_precision=False,
+    pipeline=PipelineConfig(
+        datamanager=VanillaDataManagerConfig(
+            dataparser=NerfstudioDataParserConfig(),
+            train_num_rays_per_batch=1024,
+            eval_num_rays_per_batch=1024,
+        ),
+        model_name="neus",
+        model=neus_model.Config(eval_num_rays_per_chunk=1024),
+    ),
+    optimizers={
+        "fields": {
+            "optimizer": AdamOptimizerConfig(lr=5e-4, eps=1e-15),
+            "scheduler": CosineDecaySchedulerConfig(
+                warm_up_end=500, learning_rate_alpha=0.05, max_steps=300000
+            ),
+        },
+    },
+    viewer=ViewerConfig(num_rays_per_chunk=1 << 12),
+    vis="viewer",
+)

@@ -203,3 +203,20 @@ class DynamicDataManager(VanillaDataManager):
                 seed=seed,
             )
         return super()._make_pixel_sampler(dataset, num_rays, seed)
+
+
+@dataclass
+class SemanticDataManagerConfig(VanillaDataManagerConfig):
+    """(ref: data/datamanagers/semantic_datamanager.py)."""
+
+    def setup(self, **kwargs) -> "SemanticDataManager":
+        return SemanticDataManager(self, **kwargs)
+
+
+class SemanticDataManager(VanillaDataManager):
+    """Swaps in SemanticDataset for pixel-wise semantic labels."""
+
+    def _make_dataset(self, outputs, eval: bool):
+        from soccernerfs_tpu.data.datasets import SemanticDataset
+
+        return SemanticDataset(outputs, self.config.camera_res_scale_factor)

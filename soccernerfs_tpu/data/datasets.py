@@ -178,3 +178,30 @@ class DynamicDataset(InputDataset):
         return importance.compute_ist(
             self, batch, ist_range=self.is_config.ist_range, split=split, offline=offline
         )
+
+
+class SemanticDataset(InputDataset):
+    """Adds per-pixel semantic labels from the dataparser's ``semantics``
+    metadata (ref: data/datasets/semantic_dataset.py)."""
+
+    def __init__(self, dataparser_outputs, scale_factor: float = 1.0, **kwargs):
+        super().__init__(dataparser_outputs, scale_factor)
+        sem = dataparser_outputs.metadata.get("semantics")
+        assert sem is not None, "SemanticDataset needs semantics metadata"
+        self.semantic_filenames = sem["filenames"]
+        self.semantic_classes = sem["classes"]
+        self.semantic_colors = sem["colors"]
+
+    def get_metadata(self, data: Dict) -> Dict:
+        idx = data["image_idx"]
+        sem = Image.open(self.semantic_filenames[idx])
+        if self.scale_factor != 1.0:
+            w, h = sem.size
+            sem = sem.resize(
+                (int(w * self.scale_factor), int(h * self.scale_factor)),
+                resample=Image.NEAREST,
+            )
+        labels = np.asarray(sem)
+        if labels.ndim == 3:
+            labels = labels[..., 0]
+        return {"semantics": labels.astype(np.int32)}

@@ -20,6 +20,8 @@ _MODEL_MODULES = {
     "depth_nerfacto": "soccernerfs_tpu.models.depth_nerfacto",
     "mipnerf": "soccernerfs_tpu.models.mipnerf",
     "tensorf": "soccernerfs_tpu.models.tensorf",
+    "semantic_nerfw": "soccernerfs_tpu.models.semantic_nerfw",
+    "neus": "soccernerfs_tpu.models.neus",
 }
 
 

@@ -189,3 +189,53 @@ def test_nerfplayer_ngp_smoke():
     (loss, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     assert jnp.isfinite(loss)
     assert {"rgb_loss", "depth_loss", "temporal_tv_loss"} <= set(ld)
+
+
+def test_neus_smoke():
+    from soccernerfs_tpu.models import neus
+    from soccernerfs_tpu.fields.sdf import SDFFieldConfig
+
+    cfg = neus.Config(
+        num_samples=8, num_samples_importance=8, num_upsample_steps=2,
+        sdf_field=SDFFieldConfig(num_layers=3, hidden_dim=32, geo_feat_dim=16,
+                                 num_layers_color=2, hidden_dim_color=32),
+    )
+    rays = make_rays(with_times=False)
+    batch = {"image": jnp.full((6, 3), 0.4)}
+    params = neus.init(jax.random.PRNGKey(0), cfg, 3)
+
+    def loss_fn(p):
+        outputs = neus.get_outputs(cfg, p, AABB, rays, rng=jax.random.PRNGKey(1), train=True)
+        ld = neus.get_loss_dict(cfg, p, outputs, batch, None)
+        return sum(ld.values()), (outputs, ld)
+
+    (loss, (outputs, ld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert jnp.isfinite(loss)
+    assert "eikonal_loss" in ld
+    assert outputs["normals"].shape == (6, 3)
+    # geometric init: sdf near a sphere of radius `bias`
+    from soccernerfs_tpu.fields.sdf import sdf_value
+    center_sdf = float(sdf_value(cfg.sdf_field, params["fields"], jnp.zeros((1, 3)))[0])
+    assert center_sdf < 0  # inside the init sphere
+
+
+def test_semantic_nerfw_smoke():
+    from soccernerfs_tpu.models import semantic_nerfw
+
+    cfg = semantic_nerfw.Config(
+        num_levels=3, max_res=32, log2_hashmap_size=9,
+        num_proposal_samples_per_ray=(8, 6), num_nerf_samples_per_ray=4,
+        hidden_dim=16, hidden_dim_color=16, num_semantic_classes=5,
+        proposal_net_args_list=(
+            {"hidden_dim": 8, "log2_hashmap_size": 9, "num_levels": 3, "max_res": 16},
+            {"hidden_dim": 8, "log2_hashmap_size": 9, "num_levels": 3, "max_res": 32},
+        ),
+    )
+    rays = make_rays(with_times=False)
+    batch = {
+        "image": jnp.full((6, 3), 0.4),
+        "semantics": jnp.asarray([0, 1, 2, 3, 4, 0]),
+    }
+    outputs, ld = _run_model(semantic_nerfw, cfg, rays, batch)
+    assert outputs["semantics"].shape == (6, 5)
+    assert "semantics_loss" in ld

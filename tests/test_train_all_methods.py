@@ -75,6 +75,13 @@ SMALL_MODEL = {
 }
 
 SMALL_MODEL["depth_nerfacto"] = SMALL_MODEL["nerfacto"]
+from soccernerfs_tpu.fields.sdf import SDFFieldConfig  # noqa: E402
+
+SMALL_MODEL["neus"] = dict(
+    num_samples=6, num_samples_importance=4, num_upsample_steps=2,
+    sdf_field=SDFFieldConfig(num_layers=3, hidden_dim=16, geo_feat_dim=8,
+                             num_layers_color=2, hidden_dim_color=16),
+)
 SMALL_MODEL["nerfplayer_ngp_complete"] = dict(
     num_levels=3, log2_hashmap_size=9, temporal_dim=4,
     grid_resolution=8, max_num_samples_per_ray=6, num_probes_per_ray=16,
@@ -96,6 +103,12 @@ def fixtures(tmp_path_factory):
 @pytest.mark.parametrize("method", sorted(method_configs))
 def test_method_trains_two_steps(method, fixtures, tmp_path):
     import copy
+
+    if method == "semantic-nerfw":
+        # needs a Sitcoms3D semantic fixture; the model is covered by
+        # tests/test_models_smoke.py (the reference blacklists it too,
+        # ref: tests/test_train.py:18-30)
+        pytest.skip("semantic-nerfw needs sitcoms3d data")
 
     config = copy.deepcopy(method_configs[method])
     model_name = config.pipeline.model_name
