@@ -1,0 +1,18 @@
+"""Image-resolution sweep on StadiumPlayers (ref: experiments/sp_imgres.py,
+stadium_imgres.py, stadiumplayers_imgres.py share the pattern)."""
+from snt_experiment import Experiment
+
+
+def main():
+    exp = Experiment("sp_imgres", "data/stadium/camera_paths/nicecam.json",
+                     "k-planes", "")
+    exp.set_params(
+        [{}] * 3,
+        data_params=[{"downscale-factor": d} for d in (1, 2, 4)],
+    )
+    exp.dataset = "stadium-data"
+    exp.run(do_eval=True)
+
+
+if __name__ == "__main__":
+    main()

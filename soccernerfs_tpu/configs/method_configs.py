@@ -687,3 +687,10 @@ method_configs["neus"] = TrainerConfig(
     viewer=ViewerConfig(num_rays_per_chunk=1 << 12),
     vis="viewer",
 )
+
+# external plugin methods (ref: method_configs.py:700-702)
+from soccernerfs_tpu.plugins import discover_methods
+
+_ext_methods, _ext_descriptions = discover_methods()
+method_configs.update(_ext_methods)
+descriptions.update(_ext_descriptions)

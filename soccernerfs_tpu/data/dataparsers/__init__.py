@@ -16,6 +16,15 @@ from soccernerfs_tpu.data.dataparsers.dnerf import DNeRFDataParserConfig
 from soccernerfs_tpu.data.dataparsers.hypernerf import HyperNeRFDataParserConfig
 from soccernerfs_tpu.data.dataparsers.minimal import MinimalDataParserConfig
 from soccernerfs_tpu.data.dataparsers.instant_ngp_data import InstantNGPDataParserConfig
+from soccernerfs_tpu.data.dataparsers.sitcoms3d import Sitcoms3DDataParserConfig
+from soccernerfs_tpu.data.dataparsers.misc_parsers import (
+    ARKitScenesDataParserConfig,
+    DycheckDataParserConfig,
+    NuScenesDataParserConfig,
+    PhototourismDataParserConfig,
+    ScanNetDataParserConfig,
+    SDFStudioDataParserConfig,
+)
 
 DATAPARSERS = {
     "nerfstudio-data": NerfstudioDataParserConfig,
@@ -29,4 +38,11 @@ DATAPARSERS = {
     "dnerf-data": DNeRFDataParserConfig,
     "minimal-parser": MinimalDataParserConfig,
     "instant-ngp-data": InstantNGPDataParserConfig,
+    "sitcoms3d-data": Sitcoms3DDataParserConfig,
+    "phototourism-data": PhototourismDataParserConfig,
+    "dycheck-data": DycheckDataParserConfig,
+    "sdfstudio-data": SDFStudioDataParserConfig,
+    "scannet-data": ScanNetDataParserConfig,
+    "arkitscenes-data": ARKitScenesDataParserConfig,
+    "nuscenes-data": NuScenesDataParserConfig,
 }
