@@ -82,11 +82,16 @@ def quad_pack(plane: jnp.ndarray) -> jnp.ndarray:
     return packed.reshape(H * W, 4 * F)
 
 
-def sample_plane_bilinear_packed(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+def sample_plane_bilinear_packed(
+    plane: jnp.ndarray, coords: jnp.ndarray, gather_dtype=jnp.bfloat16
+) -> jnp.ndarray:
     """Bilinear plane sample via one quad-packed gather per point.
 
-    Numerically identical to ``sample_plane_bilinear`` (same clamping and
-    align_corners=True mapping); 4x fewer gather rows.
+    Same clamping and align_corners=True mapping as
+    ``sample_plane_bilinear``; 4x fewer gather rows.  The packed table is
+    gathered in ``gather_dtype`` (bf16 by default: ~9% step-time win and
+    the reference's tcnn path stored fp16 features anyway); interpolation
+    weights and outputs stay fp32.
     """
     H, W, F = plane.shape
     x = (coords[..., 0] + 1.0) * 0.5 * (W - 1)
@@ -102,7 +107,9 @@ def sample_plane_bilinear_packed(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp
     y0i = y0.astype(jnp.int32)
 
     packed = quad_pack(plane)
-    rows = jnp.take(packed, y0i * W + x0i, axis=0)  # [..., 4F]
+    if gather_dtype is not None:
+        packed = packed.astype(gather_dtype)
+    rows = jnp.take(packed, y0i * W + x0i, axis=0).astype(jnp.float32)  # [..., 4F]
     p00, p01, p10, p11 = (
         rows[..., :F],
         rows[..., F : 2 * F],
