@@ -70,6 +70,10 @@ class Trainer:
         self.model = model_registry.get_model(config.pipeline.model_name)
         self.model_cfg = config.pipeline.model
 
+        # serializes state handoff between the train loop (which donates
+        # the state buffers into the jitted step) and viewer renders
+        self._state_lock = __import__("threading").Lock()
+
         config.seed_everything()
 
     # ------------------------------------------------------------------
@@ -126,7 +130,23 @@ class Trainer:
             )
             writer.setup_writers(config.vis, self.base_dir, config.experiment_name)
             profiler.setup_profiler(config.logging.enable_profiler)
+            if "viewer" in config.vis:
+                self._start_viewer()
         return self
+
+    def _start_viewer(self):
+        """Launch the interactive viewer against the live trainer
+        (replaces the reference's in-trainer ViewerState + bridge
+        subprocess, ref: viewer/server/viewer_utils.py:242-320).  Renders
+        share the device queue with training; the viewer thread is a
+        daemon so it dies with training."""
+        import threading
+
+        from soccernerfs_tpu.viewer.server import serve
+
+        port = self.config.viewer.websocket_port
+        t = threading.Thread(target=serve, args=(self, port), daemon=True)
+        t.start()
 
     def cam_opt_cfg_optimizer(self):
         from soccernerfs_tpu.engine.optimizers import AdamOptimizerConfig
@@ -236,8 +256,20 @@ class Trainer:
         """(ref: trainer.py:382-412)."""
         raw = self.datamanager.next_train_raw(step)
         batch = self._device_batch(raw)
-        self.state, metrics = self._train_step(self.state, batch)
+        with self._state_lock:
+            self.state, metrics = self._train_step(self.state, batch)
         return metrics
+
+    def snapshot_state(self):
+        """A donation-safe copy of (params, aux) for concurrent readers
+        (the live viewer): dispatched under the state lock so the train
+        loop cannot donate these buffers first."""
+        with self._state_lock:
+            params = jax.tree_util.tree_map(lambda x: x + 0, self.state.params)
+            aux = jax.tree_util.tree_map(
+                lambda x: x + 0 if hasattr(x, "dtype") else x, self.state.aux
+            )
+        return params, aux
 
     @profiler.time_function
     def eval_iteration(self, step: int) -> Dict:
@@ -268,11 +300,12 @@ class Trainer:
         coords = np.concatenate([coords, np.zeros((n_pad - n, 2), np.float32)])
         cam_idx = np.full((n_pad,), camera_index, np.int32)
 
+        params, aux = self.snapshot_state()
         outs = []
         for i in range(0, n_pad, chunk):
             o = self._eval_forward(
-                self.state.params,
-                self.state.aux,
+                params,
+                aux,
                 jnp.asarray(cam_idx[i : i + chunk]),
                 jnp.asarray(coords[i : i + chunk]),
                 cameras,
