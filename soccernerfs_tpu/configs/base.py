@@ -8,7 +8,6 @@ modules, not classes.
 """
 from __future__ import annotations
 
-import dataclasses
 import random
 from dataclasses import dataclass, field
 from datetime import datetime

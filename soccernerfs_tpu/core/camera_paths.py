@@ -5,12 +5,9 @@ dataset cameras, and viewer-exported camera_path.json parsing.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from soccernerfs_tpu.core.cameras import Cameras
-from soccernerfs_tpu.core import pose_utils
 
 
 def _slerp(q0, q1, t):

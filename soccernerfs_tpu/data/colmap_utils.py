@@ -6,7 +6,6 @@ the process-data pipeline (ref: process_data/colmap_utils.py).
 """
 from __future__ import annotations
 
-import json
 import struct
 from dataclasses import dataclass
 from pathlib import Path

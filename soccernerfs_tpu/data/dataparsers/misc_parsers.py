@@ -8,11 +8,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Optional
-
 import numpy as np
 
-from soccernerfs_tpu.core.cameras import Cameras, CameraType
+from soccernerfs_tpu.core.cameras import Cameras
 from soccernerfs_tpu.core.pose_utils import auto_orient_and_center_poses
 from soccernerfs_tpu.core.scene_box import SceneBox
 from soccernerfs_tpu.data.dataparsers.base import (

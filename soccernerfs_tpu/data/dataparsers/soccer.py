@@ -20,7 +20,7 @@ Shared pipeline (ref: broadcaststyle_dataparser.py:261-529):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path, PurePath
 from typing import Callable, List, Optional, Tuple
 

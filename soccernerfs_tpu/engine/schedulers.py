@@ -6,8 +6,6 @@ base lr, matching the reference's torch LambdaLR factors.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

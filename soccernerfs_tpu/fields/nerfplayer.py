@@ -11,7 +11,7 @@ Functional re-design of ``fields/nerfplayer_field.py:147-415``:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,9 +6,8 @@ optionally decaying sigma.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
+from typing import Dict
 
-import jax
 import jax.numpy as jnp
 
 from soccernerfs_tpu.models import kplanes as _kp

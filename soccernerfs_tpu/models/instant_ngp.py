@@ -24,7 +24,6 @@ from soccernerfs_tpu.fields.instant_ngp import (
     instant_ngp_density,
     instant_ngp_rgb,
 )
-from soccernerfs_tpu.ops import losses as L
 from soccernerfs_tpu.ops.occupancy import (
     OccupancyGridConfig,
     init_occupancy_grid,

@@ -9,7 +9,7 @@ become the pure schedule functions ``proposal_anneal`` and
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from soccernerfs_tpu.core.math import intersect_aabb
-from soccernerfs_tpu.core.rays import RayBundle, RaySamples
+from soccernerfs_tpu.core.rays import RayBundle
 from soccernerfs_tpu.core.scene_box import SceneBox
 from soccernerfs_tpu.ops import losses as L
 from soccernerfs_tpu.ops.encodings import (

@@ -7,7 +7,6 @@ basis in core/math.py.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax

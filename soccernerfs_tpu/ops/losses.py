@@ -10,7 +10,7 @@ Known reference defects intentionally NOT replicated: the debug prints in
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ in ops/pallas/fused_mlp.py for the hot paths.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

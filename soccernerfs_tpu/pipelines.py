@@ -14,7 +14,6 @@ bucketed ray scaling.
 """
 from __future__ import annotations
 
-import time
 from typing import Dict, Tuple
 
 import jax

@@ -13,8 +13,6 @@ process per host with --machine.coordinator set.
 """
 from __future__ import annotations
 
-import sys
-
 from soccernerfs_tpu.configs.cli import parse_train_cli
 from soccernerfs_tpu.engine.trainer import Trainer
 from soccernerfs_tpu.utils import profiler

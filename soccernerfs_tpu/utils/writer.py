@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import enum
 import time
-from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 

@@ -1,6 +1,4 @@
 """CLI grammar tests (ref grammar: scripts/train.py:2-30, README.md:38-45)."""
-from pathlib import Path
-
 import pytest
 
 from soccernerfs_tpu.configs.cli import parse_train_cli

@@ -1,6 +1,5 @@
 """Plane-sampling equivalence tests: packed vs reference bilerp."""
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from soccernerfs_tpu.ops.grid_sample import (

@@ -5,7 +5,6 @@ Mirrors the reference's test_train.py pattern of touching every method
 """
 import jax
 import jax.numpy as jnp
-import pytest
 
 from soccernerfs_tpu.core.rays import RayBundle
 from soccernerfs_tpu.models import nerfacto, nerfplayer_nerfacto

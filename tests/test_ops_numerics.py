@@ -5,10 +5,8 @@ ref: tests/model_components/test_ray_sampler.py) plus the fork components
 it left untested: interlevel/distortion/plane regularizers against
 closed forms (SURVEY §4).
 """
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from soccernerfs_tpu.core.rays import RayBundle
 from soccernerfs_tpu.ops import losses as L
