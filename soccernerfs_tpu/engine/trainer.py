@@ -302,16 +302,18 @@ class Trainer:
         params, aux = self.snapshot_state()
         outs = []
         for i in range(0, n_pad, chunk):
-            o = self._eval_forward(
-                params,
-                aux,
-                jnp.asarray(cam_idx[i : i + chunk]),
-                jnp.asarray(coords[i : i + chunk]),
-                cameras,
+            # dispatch all chunks without syncing; convert once at the end
+            outs.append(
+                self._eval_forward(
+                    params,
+                    aux,
+                    jnp.asarray(cam_idx[i : i + chunk]),
+                    jnp.asarray(coords[i : i + chunk]),
+                    cameras,
+                )
             )
-            outs.append({k: np.asarray(v) for k, v in o.items()})
         merged = {
-            k: np.concatenate([o[k] for o in outs])[:n] for k in outs[0]
+            k: np.concatenate([np.asarray(o[k]) for o in outs])[:n] for k in outs[0]
         }
         return {
             k: v.reshape(h, w, *v.shape[1:]) for k, v in merged.items()
