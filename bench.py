@@ -70,9 +70,12 @@ def main():
         "aux": aux,
     }
 
-    def train_step(state, cam_idx, coords, image):
+    def train_step(state, cam_idx, coords, image, train_props):
         step = state["step"]
         sched_kwargs, new_aux = kplanes.schedules(cfg, step, state["aux"])
+        # host-static decision: lets XLA prune the proposal backward on
+        # the reference's non-update steps (4/5 after warmup)
+        sched_kwargs["train_proposal_networks"] = train_props
         rng = jax.random.fold_in(jax.random.PRNGKey(1), step)
         batch = {"image": image}
 
@@ -93,7 +96,8 @@ def main():
             loss,
         )
 
-    step_fn = jax.jit(train_step, donate_argnums=0)
+    step_fn = jax.jit(train_step, donate_argnums=0, static_argnums=4)
+    host_sched: dict = {}
 
     def make_batch(i):
         r = np.random.default_rng(i)
@@ -107,16 +111,27 @@ def main():
             jnp.asarray(r.uniform(0, 1, (batch_size, 3)).astype(np.float32)),
         )
 
-    # warmup / compile
+    def flag(step):
+        return kplanes.host_static_kwargs(cfg, step, host_sched)[
+            "train_proposal_networks"
+        ]
+
+    # warmup / compile both variants
     batches = [make_batch(i) for i in range(8)]
-    state, loss = step_fn(state, *batches[0])
+    state, loss = step_fn(state, *batches[0], True)
+    jax.block_until_ready(loss)
+    state, loss = step_fn(state, *batches[1], False)
     jax.block_until_ready(loss)
 
+    # measure the steady-state mix at a post-warmup step offset: the
+    # update schedule runs every proposal_update_every steps there
+    host_sched["steps_since_update"] = 0
     n_steps = 50
     t0 = time.time()
     for i in range(n_steps):
-        state, loss = step_fn(state, *batches[i % len(batches)])
-    jax.block_until_ready(loss)
+        # post-warmup regime (update_sched = 5 -> update every ~7th step)
+        state, loss = step_fn(state, *batches[i % len(batches)], flag(10_000 + i))
+    float(jax.device_get(loss))
     dt = time.time() - t0
 
     rays_per_sec = batch_size * n_steps / dt

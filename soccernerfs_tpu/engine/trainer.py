@@ -161,7 +161,11 @@ class Trainer:
         train_cameras = self.train_cameras
         base_rng = self.train_rng
 
-        def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        def train_step(
+            state: TrainState,
+            batch: Dict[str, jnp.ndarray],
+            static_kwargs: tuple = (),
+        ):
             step = state.step
             rng = jax.random.fold_in(base_rng, step)
             rng, rng_loss = jax.random.split(rng)
@@ -169,6 +173,10 @@ class Trainer:
                 sched_kwargs, new_aux = model.schedules(model_cfg, step, state.aux)
             else:
                 sched_kwargs, new_aux = {}, state.aux
+            # host-decided static flags (e.g. the proposal-update decision)
+            # override their traced counterparts so XLA can prune dead
+            # backward passes (see models/kplanes.host_static_kwargs)
+            sched_kwargs.update(dict(static_kwargs))
 
             def loss_fn(params):
                 cam_opt = apply_camera_optimizer(
@@ -202,7 +210,8 @@ class Trainer:
             out_metrics = {"Train Loss": loss, **loss_dict, **metrics}
             return new_state, out_metrics
 
-        self._train_step = jax.jit(train_step, donate_argnums=0)
+        self._train_step = jax.jit(train_step, donate_argnums=0, static_argnums=2)
+        self._host_sched_state: Dict = {}
 
         def eval_forward(params, aux, cam_idx, coords, cameras: Cameras):
             rays = generate_rays(cameras, cam_idx, coords)
@@ -255,8 +264,17 @@ class Trainer:
         """(ref: trainer.py:382-412)."""
         raw = self.datamanager.next_train_raw(step)
         batch = self._device_batch(raw)
+        static_kwargs = ()
+        if hasattr(self.model, "host_static_kwargs"):
+            static_kwargs = tuple(
+                sorted(
+                    self.model.host_static_kwargs(
+                        self.model_cfg, step, self._host_sched_state
+                    ).items()
+                )
+            )
         with self._state_lock:
-            self.state, metrics = self._train_step(self.state, batch)
+            self.state, metrics = self._train_step(self.state, batch, static_kwargs)
         return metrics
 
     def snapshot_state(self):

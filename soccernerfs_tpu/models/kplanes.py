@@ -254,6 +254,33 @@ def schedules(cfg: Config, step: jnp.ndarray, aux: dict):
     )
 
 
+def host_static_kwargs(cfg: Config, step: int, host_state: dict) -> dict:
+    """Host-side (static) proposal-update decision.
+
+    The reference's update schedule wraps the proposal density in
+    torch.no_grad() on non-update steps (ray_samplers.py:586-595), which
+    truly skips the proposal backward.  A traced boolean can only mask
+    the gradient — XLA still executes the proposal scatter-adds (~60% of
+    step time, see PERF.md).  Deciding on the host makes the flag a jit
+    STATIC argument, so XLA compiles a variant with the proposal backward
+    pruned and runs it on ~4/5 steps after warmup.
+
+    Mutates ``host_state['steps_since_update']`` (not checkpointed — the
+    reference's counter isn't either).
+    """
+    ssu = host_state.get("steps_since_update", 0)
+    sched = float(
+        np.clip(
+            np.interp(step, [0, cfg.proposal_warmup], [0, cfg.proposal_update_every]),
+            1,
+            cfg.proposal_update_every,
+        )
+    )
+    updated = ssu > sched or step < 10
+    host_state["steps_since_update"] = 0 if updated else ssu + 1
+    return {"train_proposal_networks": bool(updated)}
+
+
 def set_nears_and_fars(cfg: Config, ray_bundle: RayBundle, aabb, train: bool) -> RayBundle:
     """Collider: AABB intersection when bounded, constant near/far otherwise
     (ref: models/kplanes.py:276-279; scene_colliders.py:47-134)."""

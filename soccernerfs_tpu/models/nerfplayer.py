@@ -144,6 +144,11 @@ def schedules(cfg: Config, step, aux):
     )
 
 
+def host_static_kwargs(cfg: Config, step: int, host_state: dict) -> dict:
+    """Static proposal-update decision (see kplanes.host_static_kwargs)."""
+    return _kp.host_static_kwargs(cfg, step, host_state)
+
+
 def get_outputs(
     cfg: Config,
     params: dict,
