@@ -361,6 +361,7 @@ class Trainer:
         dynamic_batch = getattr(config.pipeline, "dynamic_batch", False)
         target_samples = getattr(config.pipeline, "target_num_samples", 1 << 18)
         base_rays = rays_per_batch
+        t_last_log = time.time()
 
         for step in range(start_step, num_iters):
             if hasattr(self.model, "host_update"):
@@ -387,7 +388,16 @@ class Trainer:
 
             if step % config.logging.steps_per_log == 0:
                 metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
-                dt = time.time() - t0
+                # steps run async; the device_get above drains the backlog,
+                # so average over the whole interval since the last log for
+                # an honest rolling rays/s (the reference's rolling average,
+                # ref: trainer.py:225-231)
+                now = time.time()
+                interval_steps = (
+                    config.logging.steps_per_log if step != start_step else 1
+                )
+                dt = (now - t_last_log) / interval_steps
+                t_last_log = now
                 writer.put_scalar(EventName.TRAIN_RAYS_PER_SEC, rays_per_batch / dt, step)
                 remaining = (num_iters - step) * dt
                 writer.put_scalar(EventName.ETA, remaining, step)
