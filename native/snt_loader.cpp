@@ -20,9 +20,11 @@
 // Build: make -C native  (produces native/libsnt_loader.so)
 #include <algorithm>
 #include <atomic>
+#include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <string>
 #include <random>
 #include <thread>
 #include <vector>
@@ -140,8 +142,12 @@ int snt_decode_batch(const char* path_blob, const int64_t* path_offsets, int n,
       const char* path = path_blob + path_offsets[i];
       float* dst = out + (size_t)i * H * W * 3;
       size_t len = strlen(path);
-      bool is_jpg = len > 4 && (strcmp(path + len - 4, ".jpg") == 0 ||
-                                strcmp(path + len - 5, ".jpeg") == 0);
+      // Case-insensitive extension check (.JPG/.JPEG are common).
+      std::string ext(path + (len > 5 ? len - 5 : 0));
+      for (auto& c : ext) c = (char)tolower((unsigned char)c);
+      bool is_jpg = ext.size() >= 4 &&
+                    (ext.compare(ext.size() - 4, 4, ".jpg") == 0 ||
+                     ext == ".jpeg");
       bool good = is_jpg ? decode_jpeg(path, dst, H, W)
                          : decode_png(path, dst, H, W, alpha);
       if (good) ok.fetch_add(1);

@@ -58,19 +58,24 @@ def schedule_fn(scheduler_config, lr_init: float) -> Callable:
 def build_group_optimizer(
     opt_cfg: AdamOptimizerConfig, scheduler_config=None
 ) -> optax.GradientTransformation:
-    """One param-group's optax chain: [clip] -> adam/radam -> [wd] -> lr(t)."""
+    """One param-group's optax chain: [clip] -> [wd] -> adam/radam -> lr(t).
+
+    Weight decay is COUPLED L2 added to the gradient before the Adam
+    moments, matching torch.optim.Adam's ``weight_decay`` (the reference
+    optimizer) — not decoupled AdamW semantics.
+    """
     sched = schedule_fn(scheduler_config, opt_cfg.lr)
     parts = []
     if opt_cfg.max_norm is not None:
         parts.append(optax.clip_by_global_norm(opt_cfg.max_norm))
+    if opt_cfg.weight_decay:
+        parts.append(optax.add_decayed_weights(opt_cfg.weight_decay))
     if opt_cfg.kind == "adam":
         parts.append(optax.scale_by_adam(eps=opt_cfg.eps))
     elif opt_cfg.kind == "radam":
         parts.append(optax.scale_by_radam(eps=opt_cfg.eps))
     else:
         raise ValueError(f"unknown optimizer kind {opt_cfg.kind}")
-    if opt_cfg.weight_decay:
-        parts.append(optax.add_decayed_weights(opt_cfg.weight_decay))
     parts.append(
         optax.scale_by_schedule(lambda step: -opt_cfg.lr * sched(step))
     )

@@ -167,8 +167,11 @@ class Trainer:
             static_kwargs: tuple = (),
         ):
             step = state.step
-            rng = jax.random.fold_in(base_rng, step)
-            rng, rng_loss = jax.random.split(rng)
+            # split every key needed this step from the folded step key up
+            # front so no key is both consumed and re-split (independence)
+            rng, rng_loss, rng_aux = jax.random.split(
+                jax.random.fold_in(base_rng, step), 3
+            )
             if hasattr(model, "schedules"):
                 sched_kwargs, new_aux = model.schedules(model_cfg, step, state.aux)
             else:
@@ -202,7 +205,6 @@ class Trainer:
             params = optax.apply_updates(state.params, updates)
             if hasattr(model, "update_aux"):
                 # non-trainable state updates (e.g. occupancy grid EMA)
-                rng, rng_aux = jax.random.split(rng)
                 new_aux = model.update_aux(model_cfg, params, aabb, step, new_aux, rng_aux)
             new_state = TrainState(
                 params=params, opt_state=opt_state, step=step + 1, aux=new_aux

@@ -229,7 +229,9 @@ def proposal_update_decision(
         1.0,
         float(cfg.proposal_update_every),
     )
-    updated = (steps_since_update > sched) | (step < 10)
+    # The reference increments the counter BEFORE comparing
+    # (ray_samplers.py:556-557,573): an update fires every sched+1 steps.
+    updated = ((steps_since_update + 1) > sched) | (step < 10)
     new_ssu = jnp.where(updated, 0, steps_since_update + 1)
     return updated, new_ssu
 
@@ -276,7 +278,9 @@ def host_static_kwargs(cfg: Config, step: int, host_state: dict) -> dict:
             cfg.proposal_update_every,
         )
     )
-    updated = ssu > sched or step < 10
+    # Counter increments before the comparison, matching the reference
+    # (ray_samplers.py:556-557,573) and proposal_update_decision above.
+    updated = (ssu + 1) > sched or step < 10
     host_state["steps_since_update"] = 0 if updated else ssu + 1
     return {"train_proposal_networks": bool(updated)}
 

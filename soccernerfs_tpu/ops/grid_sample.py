@@ -9,9 +9,8 @@ last so corner fetches are contiguous along the TPU lane dimension — where
 the reference stores [1, F, H, W].  Coordinates are (x, y) in [-1, 1] with
 x indexing W and y indexing H, exactly like grid_sample's grid argument.
 
-A fused multiscale Pallas kernel lives in ops/pallas/plane_sample.py; this
-pure-XLA gather version is the reference implementation it is validated
-against.
+This pure-XLA gather version is the semantic reference that any fused
+Pallas variant is validated against (see ops/pallas/).
 """
 from __future__ import annotations
 

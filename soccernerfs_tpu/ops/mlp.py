@@ -7,8 +7,6 @@ kept in fp32 (master weights), matmuls run in bfloat16 with fp32
 accumulation — replacing the reference's AMP + GradScaler
 (ref: engine/trainer.py:382-409) with a static precision policy.
 
-A Pallas fully-fused variant (all layers in one VMEM-resident kernel) lives
-in ops/pallas/fused_mlp.py for the hot paths.
 """
 from __future__ import annotations
 

@@ -38,6 +38,11 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0) -> jnp
     window (matches torchmetrics.functional.structural_similarity_index
     _measure defaults, used at ref: models/kplanes.py:473).
 
+    The mean is taken over VALID interior windows only. This equals
+    torchmetrics' behavior: it reflect-pads by (k-1)//2, convolves, then
+    crops that same border from the SSIM map before averaging — leaving
+    exactly the windows fully inside the original image.
+
     Args:
         pred/target: [H, W, C] in [0, data_range].
     """
