@@ -37,6 +37,10 @@ from soccernerfs_tpu.core.math import (
 )
 from soccernerfs_tpu.core.scene_box import SceneBox
 from soccernerfs_tpu.ops.grid_sample import (
+    grid_coords,
+    permute_rows,
+    plane_sample_sorted,
+    quad_pack,
     sample_plane_bilinear,
     sample_plane_bilinear_packed,
 )
@@ -74,6 +78,94 @@ def init_plane_grids(
     return grids
 
 
+def _use_sorted_sampler(ms_grids) -> bool:
+    """The stripe-sorted Pallas-backward path needs 4F == 128 and a TPU.
+
+    It also assumes sample positions carry NO gradient — true whenever the
+    camera optimizer is off (all registered methods) because PDF-resampled
+    bins are detached (ops/samplers.py).
+    """
+    feat = ms_grids[0][0].shape[-1]
+    return feat * 4 == 128 and jax.default_backend() == "tpu"
+
+
+def interpolate_kplanes_sorted(
+    pts: jnp.ndarray,
+    ms_grids,
+    concat_features: bool,
+    freeze_time_planes: bool = False,
+    freeze_space_planes: bool = False,
+) -> jnp.ndarray:
+    """TPU path: per-axis sorted sampling with Pallas scatter backward.
+
+    Pairs sharing the plane's y axis (c2) share one sort: sorting by the
+    CONTINUOUS coordinate makes every scale's row-stripe ids nondecreasing
+    at once (stripe membership depends only on y), so 6 planes x S scales
+    need just 3 sorts (y, z, t) + 3 inverse-permutation gathers.
+    """
+    dim = pts.shape[-1]
+    combs = plane_combinations(dim)
+    has_time = dim == 4
+    m = pts.shape[0]
+    iota = jnp.arange(m, dtype=jnp.int32)
+    # positions carry no gradient on this path (PDF bins detached, camera
+    # optimizer off — _use_sorted_sampler) — cut the chain so the sorts and
+    # coordinate math never enter the backward graph
+    pts = jax.lax.stop_gradient(pts)
+
+    groups: dict = {}
+    for ci, (c1, c2) in enumerate(combs):
+        if freeze_time_planes and has_time and 3 in (c1, c2):
+            continue
+        groups.setdefault(c2, []).append((ci, c1))
+
+    n_scales = len(ms_grids)
+    f = ms_grids[0][0].shape[-1]
+    group_partials = []  # per group: [M, S*F] in ORIGINAL point order
+    for c2, members in groups.items():
+        sorted_ops = jax.lax.sort(
+            (pts[:, c2], *(pts[:, d] for d in range(dim)), iota), num_keys=1
+        )
+        s_pts = sorted_ops[1 : 1 + dim]
+        perm = sorted_ops[-1]
+        inv = jax.lax.sort((perm, iota), num_keys=1)[1]
+
+        # Hadamard within the group BEFORE leaving sorted order: only the
+        # group's [M, S*F] partial product pays the permute, not every plane
+        partial = [1.0] * n_scales
+        for ci, c1 in members:
+            is_time_plane = has_time and 3 in (c1, c2)
+            for s, grids in enumerate(ms_grids):
+                grid = grids[ci]
+                if freeze_space_planes and not is_time_plane:
+                    grid = jax.lax.stop_gradient(grid)
+                h, w, _f = grid.shape
+                xc, txf = grid_coords(s_pts[c1], w)
+                yc, tyf = grid_coords(s_pts[c2], h)
+                packed = quad_pack(grid)
+                partial[s] = partial[s] * plane_sample_sorted(
+                    packed, yc * w + xc, txf, tyf, w=w, use_pallas_bwd=True
+                )
+        stacked = jnp.concatenate(partial, axis=-1)          # [M, S*F]
+        # back to original point order; bf16 halves the permute bytes and
+        # matches the downstream MLPs' compute precision
+        stacked = permute_rows(stacked.astype(jnp.bfloat16), inv, perm)
+        group_partials.append(stacked.astype(jnp.float32))
+
+    per_scale = []
+    for s in range(n_scales):
+        interp_space = group_partials[0][:, s * f : (s + 1) * f]
+        for gp in group_partials[1:]:
+            interp_space = interp_space * gp[:, s * f : (s + 1) * f]
+        per_scale.append(interp_space)
+    if concat_features:
+        return jnp.concatenate(per_scale, axis=-1)
+    out = per_scale[0]
+    for p in per_scale[1:]:
+        out = out + p
+    return out
+
+
 def interpolate_kplanes(
     pts: jnp.ndarray,
     ms_grids,
@@ -85,12 +177,21 @@ def interpolate_kplanes(
     """Query multiscale planes: per-plane bilinear sample, Hadamard product
     over planes, concat/sum over scales (ref: kplanes_field.py:77-126).
 
+    On TPU with 32-wide features this routes to the stripe-sorted sampler
+    (Pallas scatter backward); otherwise the pure-XLA gather path.
+
     Args:
         pts: [M, 3] or [M, 4] normalized coordinates in [-1, 1].
         ms_grids: list (scales) of lists (planes) of [H, W, F] arrays.
     Returns:
         [M, F * num_scales] if concat else [M, F].
     """
+    if packed and _use_sorted_sampler(ms_grids):
+        return interpolate_kplanes_sorted(
+            pts, ms_grids, concat_features,
+            freeze_time_planes=freeze_time_planes,
+            freeze_space_planes=freeze_space_planes,
+        )
     combs = plane_combinations(pts.shape[-1])
     has_time = pts.shape[-1] == 4
     sampler = sample_plane_bilinear_packed if packed else sample_plane_bilinear

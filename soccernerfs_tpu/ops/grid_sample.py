@@ -9,11 +9,14 @@ last so corner fetches are contiguous along the TPU lane dimension — where
 the reference stores [1, F, H, W].  Coordinates are (x, y) in [-1, 1] with
 x indexing W and y indexing H, exactly like grid_sample's grid argument.
 
-This pure-XLA gather version is the semantic reference that any fused
-Pallas variant is validated against (see ops/pallas/).
+This pure-XLA gather version is the semantic reference that the fused
+Pallas kernels are validated against (ops/pallas/plane_kernels.py).
 """
 from __future__ import annotations
 
+import numpy as np
+
+import jax
 import jax.numpy as jnp
 
 
@@ -118,3 +121,122 @@ def sample_plane_bilinear_packed(
     top = p00 * (1.0 - tx) + p01 * tx
     bot = p10 * (1.0 - tx) + p11 * tx
     return top * (1.0 - ty) + bot * ty
+
+
+# flip to True in tests to run the Pallas backward in interpreter mode on CPU
+PALLAS_INTERPRET = False
+# perf A/B: force the XLA scatter backward even when pallas is requested
+FORCE_XLA_BWD = False
+
+
+def grid_coords(coords_1d: jnp.ndarray, size: int):
+    """[-1, 1] -> (cell int32, frac f32) with align_corners/border clamping."""
+    v = jnp.clip((coords_1d + 1.0) * 0.5 * (size - 1), 0.0, size - 1)
+    c = jnp.floor(v)
+    return c.astype(jnp.int32), v - c
+
+
+def permute_rows(x: jnp.ndarray, inv: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
+    """``x[inv]`` with a gather (not scatter) backward.
+
+    XLA transposes a gather into a scatter-add; for a PERMUTATION the
+    cotangent is just the opposite gather, which is ~2x faster on TPU.
+
+    Args:
+        x: [M, D]; inv: [M] inverse permutation; perm: [M] with
+            ``perm[inv] == iota`` (i.e. the forward sort's permutation).
+    """
+
+    @jax.custom_vjp
+    def op(x, inv, perm):
+        return jnp.take(x, inv, axis=0)
+
+    def op_fwd(x, inv, perm):
+        return jnp.take(x, inv, axis=0), (inv, perm)
+
+    def op_bwd(res, g):
+        inv_, perm_ = res
+        zero = np.zeros(inv_.shape, dtype=jax.dtypes.float0)
+        return jnp.take(g, perm_, axis=0), zero, zero
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(x, inv, perm)
+
+
+def plane_sample_sorted(
+    packed_f32: jnp.ndarray,
+    rowid: jnp.ndarray,
+    tx: jnp.ndarray,
+    ty: jnp.ndarray,
+    *,
+    w: int,
+    use_pallas_bwd: bool,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Bilinear sample of a quad-packed plane at stripe-sorted row ids.
+
+    Forward: one bf16 gather + lerp (XLA — fast at every table size).
+    Backward: when ``use_pallas_bwd``, the packed-table gradient comes from
+    the stripe-bucketed Pallas scatter kernel
+    (ops/pallas/plane_kernels.packed_bilerp_bwd) instead of XLA's
+    scatter-add; coordinate gradients are NOT produced (callers guarantee
+    sample positions carry no gradient: PDF bins are detached and the
+    camera optimizer is off — checked at the call site).
+
+    Args:
+        packed_f32: [R, 4F] fp32 quad-packed plane (4F == 128).
+        rowid: [M] int32 packed row ids, NONDECREASING in stripes of
+            ``w`` rows (sort by the plane's y coordinate).
+        tx, ty: [M] f32 bilinear fractions.
+        w: plane width (stripe alignment unit).
+    Returns:
+        [M, F] f32 features, in the given (sorted) order.
+    """
+    r, lanes = packed_f32.shape
+    feat = lanes // 4
+    if interpret is None:
+        interpret = PALLAS_INTERPRET
+
+    def fwd_impl(p, rowid, tx, ty):
+        rows = jnp.take(p.astype(jnp.bfloat16), rowid, axis=0).astype(jnp.float32)
+        p00 = rows[:, :feat]
+        p01 = rows[:, feat : 2 * feat]
+        p10 = rows[:, 2 * feat : 3 * feat]
+        p11 = rows[:, 3 * feat :]
+        txc = tx[:, None]
+        tyc = ty[:, None]
+        top = p00 * (1.0 - txc) + p01 * txc
+        bot = p10 * (1.0 - txc) + p11 * txc
+        return top * (1.0 - tyc) + bot * tyc
+
+    if not use_pallas_bwd or FORCE_XLA_BWD:
+        return fwd_impl(packed_f32, rowid, tx, ty)
+
+    from soccernerfs_tpu.ops.pallas import plane_kernels as pk
+
+    # stripe height: ~the row-span of one 512-point super-chunk (so a
+    # super-chunk rarely straddles stripes), at least one plane row, at
+    # most 2048 (the one-hot matmul pays tr*128 MACs per point)
+    m = rowid.shape[0]
+    span = max(1, (r * 512) // max(m, 1))
+    tr = w * max(1, min(-(-span // w), max(1, 2048 // w), -(-r // w)))
+    # grad blocks are (tr*group, 128) f32, double-buffered: keep under VMEM
+    group = max(1, min(4096 // tr, -(-r // tr)))
+
+    @jax.custom_vjp
+    def op(p, rowid, tx, ty):
+        return fwd_impl(p, rowid, tx, ty)
+
+    def op_fwd(p, rowid, tx, ty):
+        return fwd_impl(p, rowid, tx, ty), (rowid, tx, ty)
+
+    def op_bwd(res, g):
+        rowid_, tx_, ty_ = res
+        grad = pk.packed_bilerp_bwd(
+            g, rowid_, tx_, ty_, r=r, tr=tr, group=group, interpret=interpret
+        )
+        zero_i = np.zeros(rowid_.shape, dtype=jax.dtypes.float0)
+        return grad, zero_i, jnp.zeros_like(tx_), jnp.zeros_like(ty_)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(packed_f32, rowid, tx, ty)

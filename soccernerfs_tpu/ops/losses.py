@@ -35,12 +35,18 @@ def outer(t0_starts, t0_ends, t1_starts, t1_ends, y1):
     cy1 = jnp.concatenate(
         [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1
     )
-    idx_lo = searchsorted(t1_starts, t0_starts, side="right") - 1
-    idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
-    idx_hi = searchsorted(t1_ends, t0_ends, side="right")
-    idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
-    cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
-    cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)
+    # cy1 is nondecreasing (y1 >= 0), so the searchsorted+take pairs become
+    # masked max reductions (take_along_axis is ~10 ns/row on TPU).
+    # cy1[:-1][clip(cnt(t1s<=t0s)-1, 0)]: clip-low lands on cy1[0] == 0,
+    # which is exactly the empty-mask max.  cy1[1:][clip(cnt(t1e<=t0e),
+    # hi=S-1)]: the empty mask must produce cy1[1], hence the maximum().
+    lo_mask = t1_starts[..., None, :] <= t0_starts[..., :, None]  # [.., S0, S]
+    cy1_lo = jnp.max(jnp.where(lo_mask, cy1[..., None, :-1], 0.0), axis=-1)
+    hi_mask = t1_ends[..., None, :] <= t0_ends[..., :, None]
+    cy1_hi = jnp.maximum(
+        jnp.max(jnp.where(hi_mask, cy1[..., None, 1:], 0.0), axis=-1),
+        cy1[..., 1:2],
+    )
     return cy1_hi - cy1_lo
 
 

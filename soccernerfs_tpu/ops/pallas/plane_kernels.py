@@ -1,0 +1,361 @@
+"""Stripe-bucketed bilinear plane sample/scatter kernels (TPU, Pallas).
+
+The K-Planes hot loop is millions of random-row accesses into quad-packed
+feature planes (ops/grid_sample.py).  XLA's gather costs ~2-11 ns/row and
+its scatter-add ~6-18 ns/row on v5e — together >80% of a train step
+(PERF.md).  These kernels exploit a per-axis sort of the sample points:
+
+  * tiles are full ROW-STRIPES of the plane (TR % W == 0), so a point's
+    tile depends only on its y coordinate; sorting by continuous y makes
+    every scale's tile ids nondecreasing at once — one sort serves all
+    multiscale copies of a plane, and only three sort keys (y, z, t) cover
+    all six k-planes pairs;
+  * each point stripe owns a CONTIGUOUS range of the sorted points (one
+    searchsorted per stripe edge);
+  * the grid walks GROUPS of stripes (grouping amortizes the ~1.5 us
+    per-grid-step pipeline overhead); the group's table block is staged
+    HBM->VMEM once by the Pallas pipeline while double-buffered point
+    super-chunks (512 points) stream through VMEM scratch via manual DMA;
+  * the in-stripe "gather" is a one-hot [512, TR] @ [TR, 128] matmul on
+    the MXU — Mosaic's dynamic_gather lowering is broken on this
+    toolchain, and the MXU beats it anyway;
+  * the backward is the transposed matmul, accumulating the packed-table
+    gradient stripe in fp32 VMEM — no scatter ever touches HBM.
+
+Replaces the reference's cuDNN F.grid_sample fwd/bwd
+(ref: nerfstudio/utils/interpolation.py:5-33) and the tcnn/CUDA
+temporal_gridencoder fwd/bwd pair
+(ref: field_components/cuda/csrc/temporal_gridencoder.cu:92,284).
+
+Layout conventions (minor dims are 128 lanes — a Mosaic requirement for
+HBM slices):
+  * packed table [R, 4F] with 4F == 128 (F == 32); each row is the 2x2
+    bilinear corner block (ops/grid_sample.quad_pack);
+  * points SORTED so row ids are nondecreasing, padded with a sentinel
+    id >= R (their one-hot rows vanish, so padding and foreign points
+    are inert);
+  * per super-chunk meta block [3*SUB, CHUNK] f32: rows 0:4 row ids
+    (exact as floats), 4:8 tx, 8:12 ty — ONE dma per super-chunk;
+  * features as [Mp/512, CHUNK, 128] blocks: point p = s*512 + j*128 + c
+    lives at [s, c, j*32 + f];
+  * super-chunk reads are 512-aligned: boundary blocks shared by two
+    stripes merge by read-modify-write (stripes run sequentially, so the
+    earlier stripe's block is in HBM before the later one merges into it).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 128          # points per chunk == sublanes of one meta row
+SUB = 4              # chunks per super-chunk (lane-packed features)
+SC = CHUNK * SUB     # 512 points per super-chunk
+LANES = 128          # packed feature width (4F)
+FEAT = LANES // 4    # features per plane sample
+NBUF = 2             # double buffering
+
+
+def _onehot_block(meta, base, tr):
+    """[SC, tr] bf16 one-hot of in-stripe offsets + [CHUNK, LANES] mask."""
+    ohs, masks = [], []
+    for j in range(SUB):
+        d2 = meta[j].astype(jnp.int32)[:, None] - base        # [CHUNK, 1] i32
+        ohs.append((d2 == jax.lax.broadcasted_iota(
+            jnp.int32, (CHUNK, tr), 1)).astype(jnp.bfloat16))
+        m = ((d2 >= 0) & (d2 < tr)).astype(jnp.float32)
+        masks.append(jnp.broadcast_to(m, (CHUNK, FEAT)))
+    return jnp.concatenate(ohs, axis=0), jnp.concatenate(masks, axis=1)
+
+
+def _fwd_kernel(ts_ref, meta_ref, table_ref, out_ref,
+                s_meta, s_out, sems, osem, *, tr: int, group: int):
+    b = pl.program_id(0)
+
+    def meta_cp(sc_row, slot):
+        return pltpu.make_async_copy(meta_ref.at[sc_row], s_meta.at[slot],
+                                     sems.at[slot])
+
+    for g in range(group):
+        t = b * group + g
+        start = ts_ref[t]
+        end = ts_ref[t + 1]
+        r0 = start // SC
+        n = jnp.maximum((end + SC - 1) // SC - r0, 0)
+        base = t * tr
+        tile = table_ref[g * tr:(g + 1) * tr]
+
+        @pl.when(n > 0)
+        def _():
+            meta_cp(r0, 0).start()
+
+        def body(k, _):
+            slot = jax.lax.rem(k, NBUF)
+
+            @pl.when(k + 1 < n)
+            def _():
+                meta_cp(r0 + k + 1, jax.lax.rem(k + 1, NBUF)).start()
+
+            meta_cp(r0 + k, slot).wait()
+            meta = s_meta[slot]                               # [3*SUB, CHUNK]
+            oh, mask = _onehot_block(meta, base, tr)
+            rows = jnp.dot(oh, tile, preferred_element_type=jnp.float32)
+
+            vals = []
+            for j in range(SUB):
+                r = rows[j * CHUNK:(j + 1) * CHUNK]           # [CHUNK, LANES]
+                tx = meta[SUB + j][:, None]
+                ty = meta[2 * SUB + j][:, None]
+                p00 = r[:, :FEAT]
+                p01 = r[:, FEAT:2 * FEAT]
+                p10 = r[:, 2 * FEAT:3 * FEAT]
+                p11 = r[:, 3 * FEAT:]
+                top = p00 * (1.0 - tx) + p01 * tx
+                bot = p10 * (1.0 - tx) + p11 * tx
+                vals.append(top * (1.0 - ty) + bot * ty)      # [CHUNK, FEAT]
+            block = jnp.concatenate(vals, axis=1)             # [CHUNK, LANES]
+
+            is_boundary = jnp.logical_or(k == 0, k == n - 1)
+
+            @pl.when(is_boundary)
+            def _():
+                # merge with what an adjacent stripe may have written; real
+                # select (not arithmetic) — foreign lanes may hold NaN bits
+                cp_in = pltpu.make_async_copy(out_ref.at[r0 + k], s_out, osem)
+                cp_in.start(); cp_in.wait()
+                s_out[:] = jnp.where(mask > 0.5, block, s_out[:])
+
+            @pl.when(jnp.logical_not(is_boundary))
+            def _():
+                s_out[:] = block
+
+            cp_out = pltpu.make_async_copy(s_out, out_ref.at[r0 + k], osem)
+            cp_out.start(); cp_out.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+
+def _bwd_kernel(ts_ref, mg_ref, grad_block_ref,
+                s_mg, sems, *, tr: int, group: int):
+    b = pl.program_id(0)
+    nbuf = s_mg.shape[0]
+
+    # E_j: [LANES, FEAT] selector extracting lane group j (g_j = g_blk @ E_j)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, FEAT), 0)
+    feat = jax.lax.broadcasted_iota(jnp.int32, (LANES, FEAT), 1)
+    selectors = [
+        (lane - j * FEAT == feat).astype(jnp.bfloat16) for j in range(SUB)
+    ]
+
+    def mg_cp(sc_row, slot):
+        return pltpu.make_async_copy(mg_ref.at[sc_row], s_mg.at[slot],
+                                     sems.at[slot])
+
+    for g in range(group):
+        t = b * group + g
+        start = ts_ref[t]
+        end = ts_ref[t + 1]
+        r0 = start // SC
+        n = jnp.maximum((end + SC - 1) // SC - r0, 0)
+        base = t * tr
+
+        grad_block_ref[g * tr:(g + 1) * tr] = jnp.zeros((tr, LANES), jnp.float32)
+
+        for w in range(nbuf - 1):
+            @pl.when(w < n)
+            def _():
+                mg_cp(r0 + w, w).start()
+
+        def body(k, _):
+            slot = jax.lax.rem(k, nbuf)
+
+            @pl.when(k + nbuf - 1 < n)
+            def _():
+                mg_cp(r0 + k + nbuf - 1,
+                      jax.lax.rem(k + nbuf - 1, nbuf)).start()
+
+            mg_cp(r0 + k, slot).wait()
+            meta = s_mg[slot, :3 * SUB]                       # [3*SUB, CHUNK]
+            oh, _ = _onehot_block(meta, base, tr)             # [SC, tr]
+            g_blk = s_mg[slot, 3 * SUB:].astype(jnp.bfloat16)  # [CHUNK, LANES]
+            gws = []
+            for j in range(SUB):
+                g_j = jnp.dot(g_blk, selectors[j],
+                              preferred_element_type=jnp.float32)
+                tx = meta[SUB + j][:, None]
+                ty = meta[2 * SUB + j][:, None]
+                gws.append(jnp.concatenate(
+                    [
+                        g_j * ((1.0 - tx) * (1.0 - ty)),
+                        g_j * (tx * (1.0 - ty)),
+                        g_j * ((1.0 - tx) * ty),
+                        g_j * (tx * ty),
+                    ],
+                    axis=1,
+                ))                                            # [CHUNK, LANES]
+            gw = jnp.concatenate(gws, axis=0).astype(jnp.bfloat16)
+            grad_block_ref[g * tr:(g + 1) * tr] += jax.lax.dot_general(
+                oh, gw,
+                dimension_numbers=(((0,), (0,)), ((), ())),   # contract SC
+                preferred_element_type=jnp.float32,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+
+def _pad_rows(x, mult):
+    pad = (-x.shape[0]) % mult
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+    return x
+
+
+def _prep_meta(idx_sorted, tx, ty, r_pad):
+    """[S, 3*SUB, CHUNK] f32 meta blocks (ids exact as floats) + padding."""
+    m = idx_sorted.shape[0]
+    pad = (-m) % SC + SC
+
+    def rows(v, fill):
+        v = jnp.concatenate([v.astype(jnp.float32),
+                             jnp.full((pad,), fill, jnp.float32)], 0)
+        return v.reshape(-1, SUB, CHUNK)
+
+    return jnp.concatenate(
+        [rows(idx_sorted, float(r_pad + 1)), rows(tx, 0.0), rows(ty, 0.0)],
+        axis=1,
+    )  # [S, 3*SUB, CHUNK]
+
+
+def _grid_shape(r: int, tr: int, group: int):
+    r_pad = r + ((-r) % (tr * group))
+    return r_pad, r_pad // (tr * group)
+
+
+def tile_starts(idx_sorted, r_pad: int, tr: int):
+    """Per-stripe first-point offsets: searchsorted over sorted row ids."""
+    edges = jnp.arange(0, r_pad + tr, tr, dtype=jnp.int32)
+    return jnp.searchsorted(idx_sorted, edges, side="left").astype(jnp.int32)
+
+
+def unpack_features(out3, m: int):
+    """[S, CHUNK, LANES] kernel blocks -> [m, FEAT] point-major features."""
+    s = out3.shape[0]
+    return (
+        out3.reshape(s, CHUNK, SUB, FEAT)
+        .transpose(0, 2, 1, 3)
+        .reshape(s * SC, FEAT)[:m]
+    )
+
+
+def pack_features(g, s_rows: int):
+    """[m, FEAT] point-major -> [S, CHUNK, LANES] kernel blocks."""
+    m = g.shape[0]
+    g = jnp.concatenate([g, jnp.zeros((s_rows * SC - m, FEAT), g.dtype)], 0)
+    return (
+        g.reshape(s_rows, SUB, CHUNK, FEAT)
+        .transpose(0, 2, 1, 3)
+        .reshape(s_rows, CHUNK, SUB * FEAT)
+    )
+
+
+def pick_tiling(r: int, w: int):
+    """(tr, group): stripes of whole table rows, tr % w == 0, tr*group HBM
+    blocks of ~1-4 MB, and at most ~2048 one-hot lanes per stripe."""
+    k = max(1, 1024 // w)
+    tr = k * w
+    if tr > 4096:                      # very wide planes: cap the one-hot
+        tr = w                         # (w <= 4096 in all supported configs)
+    n_tiles = -(-r // tr)
+    group = max(1, min(8, n_tiles))
+    return tr, group
+
+
+@functools.partial(jax.jit, static_argnames=("tr", "group", "interpret"))
+def packed_bilerp_fwd(table_packed, idx_sorted, tx, ty, *, tr: int = 1024,
+                      group: int = 8, interpret: bool = False):
+    """Forward bilinear sample of a packed plane at stripe-sorted row ids.
+
+    Args:
+        table_packed: [R, 4F] (4F == 128) table, any float dtype (cast bf16).
+        idx_sorted: [M] int32 packed row ids, nondecreasing.
+        tx, ty: [M] f32 fractional offsets.
+    Returns:
+        [M, F] f32 interpolated features (in the sorted order).
+    """
+    r, lanes = table_packed.shape
+    assert lanes == LANES, f"packed width must be {LANES}, got {lanes}"
+    r_pad, grid = _grid_shape(r, tr, group)
+    table = _pad_rows(table_packed.astype(jnp.bfloat16), tr * group)
+    meta = _prep_meta(idx_sorted, tx, ty, r_pad)
+    ts = tile_starts(idx_sorted, r_pad, tr)
+    s_rows = meta.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, tr=tr, group=group),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),            # meta blocks
+                pl.BlockSpec((tr * group, LANES), lambda b, ts: (b, 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((NBUF, 3 * SUB, CHUNK), jnp.float32),
+                pltpu.VMEM((CHUNK, LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((s_rows, CHUNK, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(ts, meta, table)
+    return unpack_features(out, idx_sorted.shape[0])
+
+
+BWD_NBUF = 4  # deeper prefetch: the per-chunk compute is often < DMA latency
+
+
+@functools.partial(jax.jit, static_argnames=("r", "tr", "group", "interpret"))
+def packed_bilerp_bwd(g_sorted, idx_sorted, tx, ty, *, r: int, tr: int = 1024,
+                      group: int = 8, interpret: bool = False):
+    """Gradient w.r.t. the packed table: fp32 [R, 4F] accumulated per stripe.
+
+    Args:
+        g_sorted: [M, F] upstream gradient, in the SAME sorted order as
+            ``idx_sorted``.
+    """
+    assert 4 * g_sorted.shape[-1] == LANES
+    r_pad, grid = _grid_shape(r, tr, group)
+    meta = _prep_meta(idx_sorted, tx, ty, r_pad)
+    s_rows = meta.shape[0]
+    g_p = pack_features(g_sorted.astype(jnp.float32), s_rows)
+    # one DMA per super-chunk: meta rows [0:12], g block rows [12:140]
+    mg = jnp.concatenate([meta, g_p], axis=1)                 # [S, 140, CHUNK]
+    ts = tile_starts(idx_sorted, r_pad, tr)
+
+    grad = pl.pallas_call(
+        functools.partial(_bwd_kernel, tr=tr, group=group),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),            # meta+g blocks
+            ],
+            out_specs=pl.BlockSpec((tr * group, LANES), lambda b, ts: (b, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((BWD_NBUF, 3 * SUB + CHUNK, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA((BWD_NBUF,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((r_pad, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(ts, mg)
+    return grad[:r]

@@ -129,13 +129,25 @@ def pdf_samples(
         [ray_samples.spacing_starts, ray_samples.spacing_ends[..., -1:]], axis=-1
     )  # [N, S_old+1]
 
-    inds = searchsorted(cdf, u, side="right")
-    below = jnp.clip(inds - 1, 0, existing_bins.shape[-1] - 1)
-    above = jnp.clip(inds, 0, existing_bins.shape[-1] - 1)
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
-    bins_g0 = jnp.take_along_axis(existing_bins, below, axis=-1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_g1 = jnp.take_along_axis(existing_bins, above, axis=-1)
+    # Equivalent of searchsorted(cdf, u) + 4x take_along_axis, as fused
+    # masked reductions over one comparison tensor.  take_along_axis
+    # lowers to per-row gathers (~10 ns/row on TPU -> ~40 ms/step across
+    # the PDF levels); cdf and the bins are SORTED along the last axis, so
+    # "value at the last index with cdf<=u" is a masked max and "value at
+    # the first index with cdf>u" is a masked min (with the boundary
+    # behavior of the clipped indices reproduced by the fill values).
+    big = jnp.float32(3.4e38)
+    le = cdf[..., None, :] <= u[..., :, None]                 # [N, Q, K]
+    cdf_g0 = jnp.max(jnp.where(le, cdf[..., None, :], 0.0), axis=-1)
+    bins_g0 = jnp.max(jnp.where(le, existing_bins[..., None, :], 0.0), axis=-1)
+    cdf_g1 = jnp.minimum(
+        jnp.min(jnp.where(le, big, cdf[..., None, :]), axis=-1),
+        cdf[..., -1:],
+    )
+    bins_g1 = jnp.minimum(
+        jnp.min(jnp.where(le, big, existing_bins[..., None, :]), axis=-1),
+        existing_bins[..., -1:],
+    )
 
     t = jnp.clip(jnp.nan_to_num((u - cdf_g0) / (cdf_g1 - cdf_g0)), 0.0, 1.0)
     bins = bins_g0 + t * (bins_g1 - bins_g0)

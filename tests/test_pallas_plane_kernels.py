@@ -1,0 +1,119 @@
+"""Stripe-bucketed Pallas plane kernels vs the pure-XLA reference.
+
+Runs the kernels in interpreter mode on CPU (tests/conftest.py forces the
+cpu platform); the same code compiles on TPU (exercised by bench.py and
+the driver).  Validates:
+  * forward exactness against take+lerp at bf16 table precision,
+  * backward table gradients against XLA's scatter-add,
+  * the full sorted multiscale interpolation path (3 sorts + inverse
+    permutation) against the reference interpolate_kplanes output and
+    gradients.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from soccernerfs_tpu.fields import kplanes as kpf
+from soccernerfs_tpu.ops import grid_sample as gs
+from soccernerfs_tpu.ops.pallas import plane_kernels as pk
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setattr(gs, "PALLAS_INTERPRET", True)
+
+
+def _ref_lerp(table, idx, tx, ty):
+    feat = table.shape[-1] // 4
+    rows = jnp.take(table.astype(jnp.bfloat16), idx, axis=0).astype(jnp.float32)
+    p00, p01 = rows[:, :feat], rows[:, feat : 2 * feat]
+    p10, p11 = rows[:, 2 * feat : 3 * feat], rows[:, 3 * feat :]
+    top = p00 * (1 - tx[:, None]) + p01 * tx[:, None]
+    bot = p10 * (1 - tx[:, None]) + p11 * tx[:, None]
+    return top * (1 - ty[:, None]) + bot * ty[:, None]
+
+
+def test_fwd_kernel_exact():
+    rng = np.random.default_rng(0)
+    r, m = 40 * 50, 777
+    table = jnp.asarray(rng.standard_normal((r, 128), dtype=np.float32))
+    idx = jnp.asarray(np.sort(rng.integers(0, r, m).astype(np.int32)))
+    tx = jnp.asarray(rng.uniform(0, 1, m).astype(np.float32))
+    ty = jnp.asarray(rng.uniform(0, 1, m).astype(np.float32))
+    out = pk.packed_bilerp_fwd(table, idx, tx, ty, tr=256, group=2, interpret=True)
+    ref = _ref_lerp(table, idx, tx, ty)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_bwd_kernel_matches_scatter():
+    rng = np.random.default_rng(1)
+    r, m = 30 * 64, 513
+    idx = jnp.asarray(np.sort(rng.integers(0, r, m).astype(np.int32)))
+    tx = jnp.asarray(rng.uniform(0, 1, m).astype(np.float32))
+    ty = jnp.asarray(rng.uniform(0, 1, m).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((m, 32), dtype=np.float32))
+    grad = pk.packed_bilerp_bwd(g, idx, tx, ty, r=r, tr=128, group=3, interpret=True)
+    gw = jnp.concatenate(
+        [
+            g * ((1 - tx) * (1 - ty))[:, None],
+            g * (tx * (1 - ty))[:, None],
+            g * ((1 - tx) * ty)[:, None],
+            g * (tx * ty)[:, None],
+        ],
+        axis=1,
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    ref = jnp.zeros((r, 128), jnp.float32).at[idx].add(gw)
+    scale = np.abs(np.asarray(ref)).max()
+    np.testing.assert_allclose(
+        np.asarray(grad) / scale, np.asarray(ref) / scale, atol=1e-2
+    )
+
+
+@pytest.mark.parametrize("dim", [3, 4])
+def test_sorted_interpolation_matches_reference(dim):
+    """interpolate_kplanes_sorted == reference path (values AND grads)."""
+    rng = np.random.default_rng(2)
+    f, m = 32, 300
+    resolutions = [(8, 8, 8, 5)[:dim], (16, 16, 16, 5)[:dim]]
+    key = jax.random.PRNGKey(0)
+    ms_grids = []
+    for reso in resolutions:
+        key, k = jax.random.split(key)
+        ms_grids.append(kpf.init_plane_grids(k, f, reso))
+    pts = jnp.asarray(rng.uniform(-1, 1, (m, dim)).astype(np.float32))
+
+    def run_sorted(grids):
+        return kpf.interpolate_kplanes_sorted(pts, grids, concat_features=True)
+
+    def run_ref(grids):
+        # the packed XLA path (never routed to pallas on cpu)
+        combs = kpf.plane_combinations(dim)
+        per_scale = []
+        for grids_s in grids:
+            acc = 1.0
+            for ci, (c1, c2) in enumerate(combs):
+                acc = acc * gs.sample_plane_bilinear_packed(
+                    grids_s[ci], pts[:, (c1, c2)]
+                )
+            per_scale.append(acc)
+        return jnp.concatenate(per_scale, axis=-1)
+
+    out_s = run_sorted(ms_grids)
+    out_r = run_ref(ms_grids)
+    # the sorted path rounds features to bf16 for the permute (the MLPs
+    # consume bf16 anyway): compare at bf16 resolution
+    scale = np.abs(np.asarray(out_r)).max()
+    np.testing.assert_allclose(
+        np.asarray(out_s) / scale, np.asarray(out_r) / scale, atol=1.5e-2
+    )
+
+    cot = jnp.asarray(rng.standard_normal(out_r.shape, dtype=np.float32))
+    g_s = jax.grad(lambda g: jnp.vdot(run_sorted(g), cot))(ms_grids)
+    g_r = jax.grad(lambda g: jnp.vdot(run_ref(g), cot))(ms_grids)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s), jax.tree_util.tree_leaves(g_r)):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-2
+        )
