@@ -111,7 +111,9 @@ def sample_plane_bilinear_packed(
     packed = quad_pack(plane)
     if gather_dtype is not None:
         packed = packed.astype(gather_dtype)
-    rows = jnp.take(packed, y0i * W + x0i, axis=0).astype(jnp.float32)  # [..., 4F]
+    # rows stay in gather_dtype: bf16 x f32 weights promote to f32 in the
+    # lerp without materializing an f32 [M, 4F] copy of the gather output
+    rows = jnp.take(packed, y0i * W + x0i, axis=0)  # [..., 4F]
     p00, p01, p10, p11 = (
         rows[..., :F],
         rows[..., F : 2 * F],
@@ -198,7 +200,9 @@ def plane_sample_sorted(
         interpret = PALLAS_INTERPRET
 
     def fwd_impl(p, rowid, tx, ty):
-        rows = jnp.take(p.astype(jnp.bfloat16), rowid, axis=0).astype(jnp.float32)
+        # keep the gathered rows bf16 (halves the dominant [M, 4F] stream);
+        # bf16 x f32 promotes, so the lerp still accumulates in f32
+        rows = jnp.take(p.astype(jnp.bfloat16), rowid, axis=0)
         p00 = rows[:, :feat]
         p01 = rows[:, feat : 2 * feat]
         p10 = rows[:, 2 * feat : 3 * feat]
@@ -222,6 +226,9 @@ def plane_sample_sorted(
     tr = w * max(1, min(-(-span // w), max(1, 2048 // w), -(-r // w)))
     # grad blocks are (tr*group, 128) f32, double-buffered: keep under VMEM
     group = max(1, min(4096 // tr, -(-r // tr)))
+    # super-chunks per kernel iteration: batching was measured SLOWER on
+    # this toolchain (in-kernel concat relayouts beat the loop savings)
+    spi = 1
 
     @jax.custom_vjp
     def op(p, rowid, tx, ty):
@@ -233,7 +240,8 @@ def plane_sample_sorted(
     def op_bwd(res, g):
         rowid_, tx_, ty_ = res
         grad = pk.packed_bilerp_bwd(
-            g, rowid_, tx_, ty_, r=r, tr=tr, group=group, interpret=interpret
+            g, rowid_, tx_, ty_, r=r, tr=tr, group=group, spi=spi,
+            interpret=interpret,
         )
         zero_i = np.zeros(rowid_.shape, dtype=jax.dtypes.float0)
         return grad, zero_i, jnp.zeros_like(tx_), jnp.zeros_like(ty_)

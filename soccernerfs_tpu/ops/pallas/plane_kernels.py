@@ -140,9 +140,10 @@ def _fwd_kernel(ts_ref, meta_ref, table_ref, out_ref,
 
 
 def _bwd_kernel(ts_ref, mg_ref, grad_block_ref,
-                s_mg, sems, *, tr: int, group: int):
+                s_mg, sems, *, tr: int, group: int, spi: int):
     b = pl.program_id(0)
     nbuf = s_mg.shape[0]
+    unit = SC * spi
 
     # E_j: [LANES, FEAT] selector extracting lane group j (g_j = g_blk @ E_j)
     lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, FEAT), 0)
@@ -151,16 +152,16 @@ def _bwd_kernel(ts_ref, mg_ref, grad_block_ref,
         (lane - j * FEAT == feat).astype(jnp.bfloat16) for j in range(SUB)
     ]
 
-    def mg_cp(sc_row, slot):
-        return pltpu.make_async_copy(mg_ref.at[sc_row], s_mg.at[slot],
-                                     sems.at[slot])
+    def mg_cp(u_row, slot):
+        return pltpu.make_async_copy(mg_ref.at[pl.ds(u_row * spi, spi)],
+                                     s_mg.at[slot], sems.at[slot])
 
     for g in range(group):
         t = b * group + g
         start = ts_ref[t]
         end = ts_ref[t + 1]
-        r0 = start // SC
-        n = jnp.maximum((end + SC - 1) // SC - r0, 0)
+        r0 = start // unit
+        n = jnp.maximum((end + unit - 1) // unit - r0, 0)
         base = t * tr
 
         grad_block_ref[g * tr:(g + 1) * tr] = jnp.zeros((tr, LANES), jnp.float32)
@@ -179,28 +180,31 @@ def _bwd_kernel(ts_ref, mg_ref, grad_block_ref,
                       jax.lax.rem(k + nbuf - 1, nbuf)).start()
 
             mg_cp(r0 + k, slot).wait()
-            meta = s_mg[slot, :3 * SUB]                       # [3*SUB, CHUNK]
-            oh, _ = _onehot_block(meta, base, tr)             # [SC, tr]
-            g_blk = s_mg[slot, 3 * SUB:].astype(jnp.bfloat16)  # [CHUNK, LANES]
-            gws = []
-            for j in range(SUB):
-                g_j = jnp.dot(g_blk, selectors[j],
-                              preferred_element_type=jnp.float32)
-                tx = meta[SUB + j][:, None]
-                ty = meta[2 * SUB + j][:, None]
-                gws.append(jnp.concatenate(
-                    [
-                        g_j * ((1.0 - tx) * (1.0 - ty)),
-                        g_j * (tx * (1.0 - ty)),
-                        g_j * ((1.0 - tx) * ty),
-                        g_j * (tx * ty),
-                    ],
-                    axis=1,
-                ))                                            # [CHUNK, LANES]
+            ohs, gws = [], []
+            for q in range(spi):
+                meta = s_mg[slot, q, :3 * SUB]                # [3*SUB, CHUNK]
+                oh_q, _ = _onehot_block(meta, base, tr)       # [SC, tr]
+                ohs.append(oh_q)
+                g_blk = s_mg[slot, q, 3 * SUB:].astype(jnp.bfloat16)
+                for j in range(SUB):
+                    g_j = jnp.dot(g_blk, selectors[j],
+                                  preferred_element_type=jnp.float32)
+                    tx = meta[SUB + j][:, None]
+                    ty = meta[2 * SUB + j][:, None]
+                    gws.append(jnp.concatenate(
+                        [
+                            g_j * ((1.0 - tx) * (1.0 - ty)),
+                            g_j * (tx * (1.0 - ty)),
+                            g_j * ((1.0 - tx) * ty),
+                            g_j * (tx * ty),
+                        ],
+                        axis=1,
+                    ))                                        # [CHUNK, LANES]
+            oh = jnp.concatenate(ohs, axis=0)                 # [spi*SC, tr]
             gw = jnp.concatenate(gws, axis=0).astype(jnp.bfloat16)
             grad_block_ref[g * tr:(g + 1) * tr] += jax.lax.dot_general(
                 oh, gw,
-                dimension_numbers=(((0,), (0,)), ((), ())),   # contract SC
+                dimension_numbers=(((0,), (0,)), ((), ())),   # contract spi*SC
                 preferred_element_type=jnp.float32,
             )
             return 0
@@ -215,10 +219,10 @@ def _pad_rows(x, mult):
     return x
 
 
-def _prep_meta(idx_sorted, tx, ty, r_pad):
+def _prep_meta(idx_sorted, tx, ty, r_pad, mult=SC):
     """[S, 3*SUB, CHUNK] f32 meta blocks (ids exact as floats) + padding."""
     m = idx_sorted.shape[0]
-    pad = (-m) % SC + SC
+    pad = (-m) % mult + mult
 
     def rows(v, fill):
         v = jnp.concatenate([v.astype(jnp.float32),
@@ -322,18 +326,21 @@ def packed_bilerp_fwd(table_packed, idx_sorted, tx, ty, *, tr: int = 1024,
 BWD_NBUF = 4  # deeper prefetch: the per-chunk compute is often < DMA latency
 
 
-@functools.partial(jax.jit, static_argnames=("r", "tr", "group", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("r", "tr", "group", "spi", "interpret"))
 def packed_bilerp_bwd(g_sorted, idx_sorted, tx, ty, *, r: int, tr: int = 1024,
-                      group: int = 8, interpret: bool = False):
+                      group: int = 8, spi: int = 1, interpret: bool = False):
     """Gradient w.r.t. the packed table: fp32 [R, 4F] accumulated per stripe.
 
     Args:
         g_sorted: [M, F] upstream gradient, in the SAME sorted order as
             ``idx_sorted``.
+        spi: super-chunks per kernel iteration (batches the ~2-3 us
+            per-iteration loop overhead on dense tables).
     """
     assert 4 * g_sorted.shape[-1] == LANES
     r_pad, grid = _grid_shape(r, tr, group)
-    meta = _prep_meta(idx_sorted, tx, ty, r_pad)
+    meta = _prep_meta(idx_sorted, tx, ty, r_pad, mult=SC * spi)
     s_rows = meta.shape[0]
     g_p = pack_features(g_sorted.astype(jnp.float32), s_rows)
     # one DMA per super-chunk: meta rows [0:12], g block rows [12:140]
@@ -341,7 +348,7 @@ def packed_bilerp_bwd(g_sorted, idx_sorted, tx, ty, *, r: int, tr: int = 1024,
     ts = tile_starts(idx_sorted, r_pad, tr)
 
     grad = pl.pallas_call(
-        functools.partial(_bwd_kernel, tr=tr, group=group),
+        functools.partial(_bwd_kernel, tr=tr, group=group, spi=spi),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
@@ -350,7 +357,7 @@ def packed_bilerp_bwd(g_sorted, idx_sorted, tx, ty, *, r: int, tr: int = 1024,
             ],
             out_specs=pl.BlockSpec((tr * group, LANES), lambda b, ts: (b, 0)),
             scratch_shapes=[
-                pltpu.VMEM((BWD_NBUF, 3 * SUB + CHUNK, CHUNK), jnp.float32),
+                pltpu.VMEM((BWD_NBUF, spi, 3 * SUB + CHUNK, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((BWD_NBUF,)),
             ],
         ),
