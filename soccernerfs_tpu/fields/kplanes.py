@@ -40,6 +40,7 @@ from soccernerfs_tpu.ops.grid_sample import (
     grid_coords,
     permute_rows,
     plane_sample_sorted,
+    plane_sample_sorted_group,
     quad_pack,
     sample_plane_bilinear,
     sample_plane_bilinear_packed,
@@ -133,19 +134,27 @@ def interpolate_kplanes_sorted(
         # Hadamard within the group BEFORE leaving sorted order: only the
         # group's [M, S*F] partial product pays the permute, not every plane
         partial = [1.0] * n_scales
-        for ci, c1 in members:
-            is_time_plane = has_time and 3 in (c1, c2)
-            for s, grids in enumerate(ms_grids):
+        for s, grids in enumerate(ms_grids):
+            packeds, rowids, txs = [], [], []
+            tyf = None
+            w = None
+            for ci, c1 in members:
+                is_time_plane = has_time and 3 in (c1, c2)
                 grid = grids[ci]
                 if freeze_space_planes and not is_time_plane:
                     grid = jax.lax.stop_gradient(grid)
                 h, w, _f = grid.shape
                 xc, txf = grid_coords(s_pts[c1], w)
                 yc, tyf = grid_coords(s_pts[c2], h)
-                packed = quad_pack(grid)
-                partial[s] = partial[s] * plane_sample_sorted(
-                    packed, yc * w + xc, txf, tyf, w=w, use_pallas_bwd=True
-                )
+                packeds.append(quad_pack(grid))
+                rowids.append(yc * w + xc)
+                txs.append(txf)
+            # one group kernel per scale: members share shape + stripe axis
+            feats = plane_sample_sorted_group(
+                packeds, rowids, txs, tyf, w=w, use_pallas_bwd=True
+            )
+            for fo in feats:
+                partial[s] = partial[s] * fo
         stacked = jnp.concatenate(partial, axis=-1)          # [M, S*F]
         # back to original point order; bf16 halves the permute bytes and
         # matches the downstream MLPs' compute precision

@@ -165,6 +165,102 @@ def permute_rows(x: jnp.ndarray, inv: jnp.ndarray, perm: jnp.ndarray) -> jnp.nda
     return op(x, inv, perm)
 
 
+def _bilerp_rows(p, rowid, tx, ty, feat):
+    # keep the gathered rows bf16 (halves the dominant [M, 4F] stream);
+    # bf16 x f32 promotes, so the lerp still accumulates in f32
+    rows = jnp.take(p.astype(jnp.bfloat16), rowid, axis=0)
+    p00 = rows[:, :feat]
+    p01 = rows[:, feat : 2 * feat]
+    p10 = rows[:, 2 * feat : 3 * feat]
+    p11 = rows[:, 3 * feat :]
+    txc = tx[:, None]
+    tyc = ty[:, None]
+    top = p00 * (1.0 - txc) + p01 * txc
+    bot = p10 * (1.0 - txc) + p11 * txc
+    return top * (1.0 - tyc) + bot * tyc
+
+
+def plane_sample_sorted_group(
+    packeds,
+    rowids,
+    txs,
+    ty: jnp.ndarray,
+    *,
+    w: int,
+    use_pallas_bwd: bool,
+    interpret: bool | None = None,
+):
+    """Bilinear sample of P same-shaped quad-packed planes sharing one
+    stripe (sort) axis, at stripe-sorted row ids.
+
+    Forward: one bf16 gather + lerp per plane (XLA — fast at every table
+    size).  Backward: when ``use_pallas_bwd``, ALL P packed-table
+    gradients come from ONE stripe-bucketed Pallas scatter kernel
+    (ops/pallas/plane_kernels.packed_bilerp_bwd_group) instead of XLA
+    scatter-adds; coordinate gradients are NOT produced (callers guarantee
+    sample positions carry no gradient: PDF bins are detached and the
+    camera optimizer is off — checked at the call site).
+
+    Args:
+        packeds: P fp32 quad-packed planes [R, 4F] (4F == 128), same shape.
+        rowids: P int32 row-id arrays [M], NONDECREASING in stripes of
+            ``w`` rows (all planes sorted by the shared y coordinate).
+        txs: P [M] f32 x fractions; ty: shared [M] f32 y fraction.
+        w: plane width (stripe alignment unit).
+    Returns:
+        list of P [M, F] f32 features, in the given (sorted) order.
+    """
+    r, lanes = packeds[0].shape
+    feat = lanes // 4
+    if interpret is None:
+        interpret = PALLAS_INTERPRET
+
+    if not use_pallas_bwd or FORCE_XLA_BWD:
+        return [
+            _bilerp_rows(p, rowid, tx, ty, feat)
+            for p, rowid, tx in zip(packeds, rowids, txs)
+        ]
+
+    from soccernerfs_tpu.ops.pallas import plane_kernels as pk
+
+    # stripe height: ~the row-span of one 512-point super-chunk (so a
+    # super-chunk rarely straddles stripes), at least one plane row, at
+    # most 2048 (the one-hot matmul pays tr*128 MACs per point)
+    m = rowids[0].shape[0]
+    planes = len(packeds)
+    span = max(1, (r * 512) // max(m, 1))
+    tr = w * max(1, min(-(-span // w), max(1, 2048 // w), -(-r // w)))
+    # grad blocks are (P, tr*group, 128) f32, double-buffered: keep in VMEM
+    group = max(1, min(4096 // (tr * planes), -(-r // tr)))
+
+    @jax.custom_vjp
+    def op(packeds, rowids, txs, ty):
+        return [
+            _bilerp_rows(p, rowid, tx, ty, feat)
+            for p, rowid, tx in zip(packeds, rowids, txs)
+        ]
+
+    def op_fwd(packeds, rowids, txs, ty):
+        return op(packeds, rowids, txs, ty), (rowids, txs, ty)
+
+    def op_bwd(res, gs):
+        rowids_, txs_, ty_ = res
+        grads = pk.packed_bilerp_bwd_group(
+            gs, rowids_, txs_, ty_, r=r, tr=tr, group=group,
+            interpret=interpret,
+        )
+        zero_i = [np.zeros(ri.shape, dtype=jax.dtypes.float0) for ri in rowids_]
+        return (
+            [g.astype(packeds[0].dtype) for g in grads],
+            zero_i,
+            [jnp.zeros_like(t) for t in txs_],
+            jnp.zeros_like(ty_),
+        )
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(list(packeds), list(rowids), list(txs), ty)
+
+
 def plane_sample_sorted(
     packed_f32: jnp.ndarray,
     rowid: jnp.ndarray,
@@ -175,76 +271,8 @@ def plane_sample_sorted(
     use_pallas_bwd: bool,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Bilinear sample of a quad-packed plane at stripe-sorted row ids.
-
-    Forward: one bf16 gather + lerp (XLA — fast at every table size).
-    Backward: when ``use_pallas_bwd``, the packed-table gradient comes from
-    the stripe-bucketed Pallas scatter kernel
-    (ops/pallas/plane_kernels.packed_bilerp_bwd) instead of XLA's
-    scatter-add; coordinate gradients are NOT produced (callers guarantee
-    sample positions carry no gradient: PDF bins are detached and the
-    camera optimizer is off — checked at the call site).
-
-    Args:
-        packed_f32: [R, 4F] fp32 quad-packed plane (4F == 128).
-        rowid: [M] int32 packed row ids, NONDECREASING in stripes of
-            ``w`` rows (sort by the plane's y coordinate).
-        tx, ty: [M] f32 bilinear fractions.
-        w: plane width (stripe alignment unit).
-    Returns:
-        [M, F] f32 features, in the given (sorted) order.
-    """
-    r, lanes = packed_f32.shape
-    feat = lanes // 4
-    if interpret is None:
-        interpret = PALLAS_INTERPRET
-
-    def fwd_impl(p, rowid, tx, ty):
-        # keep the gathered rows bf16 (halves the dominant [M, 4F] stream);
-        # bf16 x f32 promotes, so the lerp still accumulates in f32
-        rows = jnp.take(p.astype(jnp.bfloat16), rowid, axis=0)
-        p00 = rows[:, :feat]
-        p01 = rows[:, feat : 2 * feat]
-        p10 = rows[:, 2 * feat : 3 * feat]
-        p11 = rows[:, 3 * feat :]
-        txc = tx[:, None]
-        tyc = ty[:, None]
-        top = p00 * (1.0 - txc) + p01 * txc
-        bot = p10 * (1.0 - txc) + p11 * txc
-        return top * (1.0 - tyc) + bot * tyc
-
-    if not use_pallas_bwd or FORCE_XLA_BWD:
-        return fwd_impl(packed_f32, rowid, tx, ty)
-
-    from soccernerfs_tpu.ops.pallas import plane_kernels as pk
-
-    # stripe height: ~the row-span of one 512-point super-chunk (so a
-    # super-chunk rarely straddles stripes), at least one plane row, at
-    # most 2048 (the one-hot matmul pays tr*128 MACs per point)
-    m = rowid.shape[0]
-    span = max(1, (r * 512) // max(m, 1))
-    tr = w * max(1, min(-(-span // w), max(1, 2048 // w), -(-r // w)))
-    # grad blocks are (tr*group, 128) f32, double-buffered: keep under VMEM
-    group = max(1, min(4096 // tr, -(-r // tr)))
-    # super-chunks per kernel iteration: batching was measured SLOWER on
-    # this toolchain (in-kernel concat relayouts beat the loop savings)
-    spi = 1
-
-    @jax.custom_vjp
-    def op(p, rowid, tx, ty):
-        return fwd_impl(p, rowid, tx, ty)
-
-    def op_fwd(p, rowid, tx, ty):
-        return fwd_impl(p, rowid, tx, ty), (rowid, tx, ty)
-
-    def op_bwd(res, g):
-        rowid_, tx_, ty_ = res
-        grad = pk.packed_bilerp_bwd(
-            g, rowid_, tx_, ty_, r=r, tr=tr, group=group, spi=spi,
-            interpret=interpret,
-        )
-        zero_i = np.zeros(rowid_.shape, dtype=jax.dtypes.float0)
-        return grad, zero_i, jnp.zeros_like(tx_), jnp.zeros_like(ty_)
-
-    op.defvjp(op_fwd, op_bwd)
-    return op(packed_f32, rowid, tx, ty)
+    """Single-plane convenience wrapper over plane_sample_sorted_group."""
+    return plane_sample_sorted_group(
+        [packed_f32], [rowid], [tx], ty,
+        w=w, use_pallas_bwd=use_pallas_bwd, interpret=interpret,
+    )[0]

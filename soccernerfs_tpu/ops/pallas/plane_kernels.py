@@ -140,31 +140,50 @@ def _fwd_kernel(ts_ref, meta_ref, table_ref, out_ref,
 
 
 def _bwd_kernel(ts_ref, mg_ref, grad_block_ref,
-                s_mg, sems, *, tr: int, group: int, spi: int):
+                s_mg, sems, *, tr: int, group: int, planes: int):
+    """Multi-plane scatter: all ``planes`` share the stripe axis (their
+    tile ranges are identical), so one pass over the sorted points feeds
+    ``planes`` gradient tables and the per-iteration loop overhead is
+    amortized across them.
+
+    mg block layout (rows of a [*, CHUNK] block):
+      [0 : 4*P)            row ids per plane            (SUB rows each)
+      [4*P : 8*P)          tx per plane
+      [8*P : 8*P + 4)      shared ty (the stripe coordinate's fraction)
+      [8*P + 4 : ... )     P gradient blocks of CHUNK rows each
+    """
     b = pl.program_id(0)
     nbuf = s_mg.shape[0]
-    unit = SC * spi
+    p_meta = 8 * planes + SUB
 
-    # E_j: [LANES, FEAT] selector extracting lane group j (g_j = g_blk @ E_j)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, FEAT), 0)
-    feat = jax.lax.broadcasted_iota(jnp.int32, (LANES, FEAT), 1)
-    selectors = [
-        (lane - j * FEAT == feat).astype(jnp.bfloat16) for j in range(SUB)
+    # T_j copies lane group j to ALL four groups: g_tile = g_blk @ T_j has
+    # g_j replicated across the 4 corner slots (no lane concats — Mosaic
+    # relayouts dominate the iteration otherwise)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    lane_o = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    tilers = [
+        (lane_i - j * FEAT == lane_o % FEAT).astype(jnp.bfloat16)
+        for j in range(SUB)
     ]
+    # lane masks for the corner weights: [p00 p01 p10 p11] per 32 lanes
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    x_hi = (lane1 // FEAT) % 2 == 1                           # p01, p11
+    y_hi = lane1 // (2 * FEAT) == 1                           # p10, p11
 
-    def mg_cp(u_row, slot):
-        return pltpu.make_async_copy(mg_ref.at[pl.ds(u_row * spi, spi)],
-                                     s_mg.at[slot], sems.at[slot])
+    def mg_cp(sc_row, slot):
+        return pltpu.make_async_copy(mg_ref.at[sc_row], s_mg.at[slot],
+                                     sems.at[slot])
 
     for g in range(group):
         t = b * group + g
         start = ts_ref[t]
         end = ts_ref[t + 1]
-        r0 = start // unit
-        n = jnp.maximum((end + unit - 1) // unit - r0, 0)
+        r0 = start // SC
+        n = jnp.maximum((end + SC - 1) // SC - r0, 0)
         base = t * tr
 
-        grad_block_ref[g * tr:(g + 1) * tr] = jnp.zeros((tr, LANES), jnp.float32)
+        grad_block_ref[:, g * tr:(g + 1) * tr] = jnp.zeros(
+            (planes, tr, LANES), jnp.float32)
 
         for w in range(nbuf - 1):
             @pl.when(w < n)
@@ -180,33 +199,31 @@ def _bwd_kernel(ts_ref, mg_ref, grad_block_ref,
                       jax.lax.rem(k + nbuf - 1, nbuf)).start()
 
             mg_cp(r0 + k, slot).wait()
-            ohs, gws = [], []
-            for q in range(spi):
-                meta = s_mg[slot, q, :3 * SUB]                # [3*SUB, CHUNK]
-                oh_q, _ = _onehot_block(meta, base, tr)       # [SC, tr]
-                ohs.append(oh_q)
-                g_blk = s_mg[slot, q, 3 * SUB:].astype(jnp.bfloat16)
+            blk = s_mg[slot]
+            for p in range(planes):
+                g_blk = blk[p_meta + p * CHUNK:p_meta + (p + 1) * CHUNK]
+                g_blk = g_blk.astype(jnp.bfloat16)            # [CHUNK, LANES]
+                ohs, gws = [], []
                 for j in range(SUB):
-                    g_j = jnp.dot(g_blk, selectors[j],
-                                  preferred_element_type=jnp.float32)
-                    tx = meta[SUB + j][:, None]
-                    ty = meta[2 * SUB + j][:, None]
-                    gws.append(jnp.concatenate(
-                        [
-                            g_j * ((1.0 - tx) * (1.0 - ty)),
-                            g_j * (tx * (1.0 - ty)),
-                            g_j * ((1.0 - tx) * ty),
-                            g_j * (tx * ty),
-                        ],
-                        axis=1,
-                    ))                                        # [CHUNK, LANES]
-            oh = jnp.concatenate(ohs, axis=0)                 # [spi*SC, tr]
-            gw = jnp.concatenate(gws, axis=0).astype(jnp.bfloat16)
-            grad_block_ref[g * tr:(g + 1) * tr] += jax.lax.dot_general(
-                oh, gw,
-                dimension_numbers=(((0,), (0,)), ((), ())),   # contract spi*SC
-                preferred_element_type=jnp.float32,
-            )
+                    d2 = blk[SUB * p + j].astype(jnp.int32)[:, None] - base
+                    ohs.append((d2 == jax.lax.broadcasted_iota(
+                        jnp.int32, (CHUNK, tr), 1)).astype(jnp.bfloat16))
+                    tx = blk[SUB * (planes + p) + j][:, None]
+                    ty = blk[8 * planes + j][:, None]
+                    g_tile = jnp.dot(g_blk, tilers[j],
+                                     preferred_element_type=jnp.float32)
+                    wx = jnp.where(x_hi, tx, 1.0 - tx)        # [CHUNK, LANES]
+                    wy = jnp.where(y_hi, ty, 1.0 - ty)
+                    gws.append((wx * wy * g_tile).astype(jnp.bfloat16))
+                # sublane concats (cheap, unlike lane concats) -> ONE matmul
+                # and ONE VMEM read-modify-write of the grad block per plane
+                oh = jnp.concatenate(ohs, axis=0)             # [SC, tr]
+                gw = jnp.concatenate(gws, axis=0)             # [SC, LANES]
+                grad_block_ref[p, g * tr:(g + 1) * tr] += jax.lax.dot_general(
+                    oh, gw,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             return 0
 
         jax.lax.fori_loop(0, n, body, 0)
@@ -326,43 +343,76 @@ def packed_bilerp_fwd(table_packed, idx_sorted, tx, ty, *, tr: int = 1024,
 BWD_NBUF = 4  # deeper prefetch: the per-chunk compute is often < DMA latency
 
 
+def _rows(v, fill, pad):
+    v = jnp.concatenate(
+        [v.astype(jnp.float32), jnp.full((pad,), fill, jnp.float32)], 0
+    )
+    return v.reshape(-1, SUB, CHUNK)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("r", "tr", "group", "spi", "interpret"))
-def packed_bilerp_bwd(g_sorted, idx_sorted, tx, ty, *, r: int, tr: int = 1024,
-                      group: int = 8, spi: int = 1, interpret: bool = False):
-    """Gradient w.r.t. the packed table: fp32 [R, 4F] accumulated per stripe.
+                   static_argnames=("r", "tr", "group", "interpret"))
+def packed_bilerp_bwd_group(gs, rowids, txs, ty, *, r: int, tr: int = 1024,
+                            group: int = 8, interpret: bool = False):
+    """Gradients w.r.t. P packed tables sharing one stripe axis.
+
+    All planes in a sort group (e.g. XZ and YZ, or XT/YT/ZT) have
+    IDENTICAL table shapes and identical stripe ranges (stripe membership
+    depends only on the shared sorted coordinate), so one kernel pass over
+    the sorted points feeds all P gradient tables, amortizing the
+    per-iteration loop overhead across the group.
 
     Args:
-        g_sorted: [M, F] upstream gradient, in the SAME sorted order as
-            ``idx_sorted``.
-        spi: super-chunks per kernel iteration (batches the ~2-3 us
-            per-iteration loop overhead on dense tables).
+        gs: P upstream gradients [M, F], in the shared sorted order.
+        rowids: P row-id arrays [M] (nondecreasing within stripes).
+        txs: P x-fraction arrays [M].
+        ty: shared stripe-coordinate fraction [M].
+    Returns:
+        list of P fp32 [R, 4F] table gradients.
     """
-    assert 4 * g_sorted.shape[-1] == LANES
+    planes = len(gs)
+    assert all(4 * g.shape[-1] == LANES for g in gs)
     r_pad, grid = _grid_shape(r, tr, group)
-    meta = _prep_meta(idx_sorted, tx, ty, r_pad, mult=SC * spi)
-    s_rows = meta.shape[0]
-    g_p = pack_features(g_sorted.astype(jnp.float32), s_rows)
-    # one DMA per super-chunk: meta rows [0:12], g block rows [12:140]
-    mg = jnp.concatenate([meta, g_p], axis=1)                 # [S, 140, CHUNK]
-    ts = tile_starts(idx_sorted, r_pad, tr)
+    m = rowids[0].shape[0]
+    pad = (-m) % SC + SC
+    parts = (
+        [_rows(idx, float(r_pad + 1), pad) for idx in rowids]
+        + [_rows(tx, 0.0, pad) for tx in txs]
+        + [_rows(ty, 0.0, pad)]
+    )
+    s_rows = parts[0].shape[0]
+    parts += [pack_features(g.astype(jnp.float32), s_rows) for g in gs]
+    mg = jnp.concatenate(parts, axis=1)      # [S, 8P+4+128P, CHUNK]
+    ts = tile_starts(rowids[0], r_pad, tr)
 
     grad = pl.pallas_call(
-        functools.partial(_bwd_kernel, tr=tr, group=group, spi=spi),
+        functools.partial(_bwd_kernel, tr=tr, group=group, planes=planes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),            # meta+g blocks
             ],
-            out_specs=pl.BlockSpec((tr * group, LANES), lambda b, ts: (b, 0)),
+            out_specs=pl.BlockSpec((planes, tr * group, LANES),
+                                   lambda b, ts: (0, b, 0)),
             scratch_shapes=[
-                pltpu.VMEM((BWD_NBUF, spi, 3 * SUB + CHUNK, CHUNK), jnp.float32),
+                pltpu.VMEM((BWD_NBUF, 8 * planes + SUB + planes * CHUNK,
+                            CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((BWD_NBUF,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((r_pad, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((planes, r_pad, LANES), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(ts, mg)
-    return grad[:r]
+    return [grad[p, :r] for p in range(planes)]
+
+
+def packed_bilerp_bwd(g_sorted, idx_sorted, tx, ty, *, r: int, tr: int = 1024,
+                      group: int = 8, spi: int = 1, interpret: bool = False):
+    """Single-plane convenience wrapper over packed_bilerp_bwd_group."""
+    del spi
+    return packed_bilerp_bwd_group(
+        [g_sorted], [idx_sorted], [tx], ty, r=r, tr=tr, group=group,
+        interpret=interpret,
+    )[0]
