@@ -145,6 +145,14 @@ def parse_train_cli(argv: Optional[Sequence[str]] = None) -> TrainerConfig:
     subcommands = set(DATAPARSERS)
     while i < len(argv):
         tok = argv[i]
+        if tok in ("-h", "--help"):
+            print(f"usage: snt-train {method} [--flags ...] "
+                  "[<dataparser-data> [--flags ...]]")
+            print("flags use dotted config paths, e.g. "
+                  "--pipeline.model.multiscale-res 1 2 4 8 16, "
+                  "--max-num-iterations 30000")
+            print("dataparsers:", ", ".join(sorted(DATAPARSERS)))
+            raise SystemExit(0)
         if tok in subcommands:
             dp_config = DATAPARSERS[tok]()
             config.pipeline.datamanager.dataparser = dp_config
