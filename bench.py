@@ -12,6 +12,9 @@ Workload mirrors the reference's `k-planes` method defaults
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -148,5 +151,106 @@ def main():
     )
 
 
+def scaling_child(n_devices: int) -> None:
+    """Weak-scaling probe on a virtual n-device CPU mesh: tiny K-Planes
+    config, batch sharded over the data axis, params replicated (the pod
+    design of parallel/mesh.py).  Prints rays/s for this device count."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as ge
+    from soccernerfs_tpu.models import kplanes
+    from soccernerfs_tpu.parallel import mesh as meshlib
+
+    devices = jax.devices()[:n_devices]
+    mesh = meshlib.make_data_mesh(devices)
+    cfg = ge._tiny_config()
+    params = kplanes.init(jax.random.PRNGKey(0), cfg, num_train_data=4)
+    aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    optimizer = optax.adam(1e-2)
+    state = {
+        "params": params,
+        "opt_state": optimizer.init(params),
+        "step": jnp.asarray(0, jnp.int32),
+        "aux": kplanes.init_aux(cfg),
+    }
+    state = jax.device_put(state, meshlib.replicated(mesh))
+    batch_sharding = NamedSharding(mesh, P(meshlib.DATA_AXIS))
+    n_rays = 1024 * n_devices
+    rng = np.random.default_rng(0)
+    rays = ge._rays(n_rays, jax.random.PRNGKey(1))
+    rays = jax.device_put(rays, batch_sharding)
+    image = jax.device_put(
+        jnp.asarray(rng.uniform(0, 1, (n_rays, 3)).astype(np.float32)),
+        batch_sharding,
+    )
+
+    def train_step(state, rays, image):
+        step = state["step"]
+        sched_kwargs, new_aux = kplanes.schedules(cfg, step, state["aux"])
+        rng_ = jax.random.fold_in(jax.random.PRNGKey(3), step)
+
+        def loss_fn(p):
+            outputs = kplanes.get_outputs(
+                cfg, p, aabb, rays, rng=rng_, train=True, **sched_kwargs
+            )
+            loss_dict = kplanes.get_loss_dict(
+                cfg, p, outputs, {"image": image}, {}
+            )
+            return sum(loss_dict.values())
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        updates, opt_state = optimizer.update(grads, state["opt_state"])
+        return (
+            {
+                "params": optax.apply_updates(state["params"], updates),
+                "opt_state": opt_state,
+                "step": step + 1,
+                "aux": new_aux,
+            },
+            loss,
+        )
+
+    step_fn = jax.jit(train_step, donate_argnums=0)
+    state, loss = step_fn(state, rays, image)
+    jax.block_until_ready(loss)
+    n_steps = 20
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, loss = step_fn(state, rays, image)
+    float(jax.device_get(loss))
+    dt = time.time() - t0
+    print(json.dumps({
+        "n_devices": n_devices,
+        "rays_per_sec": round(n_rays * n_steps / dt, 1),
+        "rays_per_sec_per_device": round(n_rays * n_steps / dt / n_devices, 1),
+    }))
+
+
+def scaling_main() -> None:
+    """Run the weak-scaling table at 1/2/4/8 virtual devices (one
+    subprocess each, CPU platform forced like dryrun_multichip)."""
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    for n in (1, 2, 4, 8):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["XLA_FLAGS"] = (
+            f"{env.get('XLA_FLAGS', '')} "
+            f"--xla_force_host_platform_device_count={n}".strip()
+        )
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in [repo_root, env.get("PYTHONPATH", "")] if p
+        )
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu');"
+            f"import bench; bench.scaling_child({n})"
+        )
+        subprocess.run([sys.executable, "-c", code], env=env, cwd=repo_root,
+                       check=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        main()

@@ -124,6 +124,73 @@ def get_spiral_path(
     )
 
 
+def keyframes_to_camera_path_json(
+    keyframes,
+    render_width: int,
+    render_height: int,
+    steps_per_transition: int = 24,
+    fps: int = 24,
+) -> dict:
+    """Build a viewer-exported ``camera_path.json`` dict from keyframes.
+
+    The inverse of :func:`get_path_from_json` — the viewer's CameraPanel
+    equivalent (ref: viewer/app CameraPanel + camera_paths.py:116):
+    keyframe poses are slerp-interpolated, fov/time linearly.
+
+    Args:
+        keyframes: list of dicts with ``c2w`` ([3][4] row lists), ``fov``
+            (deg, vertical); optional ``time`` in [0, 1].
+    Returns:
+        dict consumable by ``snt-render --traj filename``.
+    """
+    assert len(keyframes) >= 1
+    frames = []
+
+    def emit(c2w3x4, fov, t):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3] = np.asarray(c2w3x4, np.float32)
+        frame = {
+            "camera_to_world": c2w.reshape(-1).tolist(),
+            "fov": float(fov),
+            "aspect": render_width / render_height,
+        }
+        if t is not None:
+            frame["render_time"] = float(t)
+        frames.append(frame)
+
+    for a, b in zip(keyframes[:-1], keyframes[1:]):
+        qa = _mat_to_quat(np.asarray(a["c2w"], np.float32)[:3, :3])
+        qb = _mat_to_quat(np.asarray(b["c2w"], np.float32)[:3, :3])
+        pa = np.asarray(a["c2w"], np.float32)[:3, 3]
+        pb = np.asarray(b["c2w"], np.float32)[:3, 3]
+        for s in range(steps_per_transition):
+            t = s / steps_per_transition
+            rot = _quat_to_mat(_slerp(qa, qb, t))
+            pose = np.concatenate([rot, ((1 - t) * pa + t * pb)[:, None]], 1)
+            fov = (1 - t) * a["fov"] + t * b["fov"]
+            ta, tb = a.get("time"), b.get("time")
+            tt = None if ta is None or tb is None else (1 - t) * ta + t * tb
+            emit(pose, fov, tt)
+    last = keyframes[-1]
+    emit(np.asarray(last["c2w"], np.float32)[:3], last["fov"], last.get("time"))
+
+    return {
+        "render_height": int(render_height),
+        "render_width": int(render_width),
+        "fps": int(fps),
+        "seconds": len(frames) / fps,
+        "camera_path": frames,
+        "keyframes": [
+            {
+                "camera_to_world": np.asarray(k["c2w"], np.float32).tolist(),
+                "fov": float(k["fov"]),
+                **({"render_time": float(k["time"])} if k.get("time") is not None else {}),
+            }
+            for k in keyframes
+        ],
+    }
+
+
 def get_path_from_json(camera_path: dict) -> Cameras:
     """Parse a viewer-exported camera_path.json
     (ref: camera_paths.py:116-164): per-frame camera_to_world (16 floats,

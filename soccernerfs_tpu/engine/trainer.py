@@ -98,6 +98,11 @@ class Trainer:
             params["camera_opt"] = init_camera_optimizer(
                 cam_rng, self.cam_opt_cfg, self.train_cameras.num_cameras
             )
+            # pose gradients flow through sample positions: the sorted
+            # plane sampler (which detaches positions) must stand down
+            from soccernerfs_tpu.fields import kplanes as _kplanes_field
+
+            _kplanes_field.SORTED_SAMPLER_ALLOWED = False
 
         opt_configs = dict(config.optimizers)
         if self.cam_opt_cfg.mode != "off" and "camera_opt" not in opt_configs:

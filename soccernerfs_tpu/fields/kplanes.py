@@ -79,15 +79,24 @@ def init_plane_grids(
     return grids
 
 
-def _use_sorted_sampler(ms_grids) -> bool:
-    """The stripe-sorted Pallas-backward path needs 4F == 128 and a TPU.
+# Trace-time gate: the sorted path stop-gradients sample POSITIONS, which
+# is only sound when nothing upstream needs position gradients.  The
+# Trainer flips this to False when the camera optimizer is on
+# (engine/trainer.py) — pose gradients flow through ray origins/directions
+# into the plane coordinates.
+SORTED_SAMPLER_ALLOWED = True
 
-    It also assumes sample positions carry NO gradient — true whenever the
-    camera optimizer is off (all registered methods) because PDF-resampled
-    bins are detached (ops/samplers.py).
-    """
+
+def _use_sorted_sampler(ms_grids) -> bool:
+    """The stripe-sorted Pallas-backward path needs 4F == 128, a TPU, and
+    position gradients to be unnecessary (PDF bins are detached and the
+    camera optimizer is off — see SORTED_SAMPLER_ALLOWED)."""
     feat = ms_grids[0][0].shape[-1]
-    return feat * 4 == 128 and jax.default_backend() == "tpu"
+    return (
+        SORTED_SAMPLER_ALLOWED
+        and feat * 4 == 128
+        and jax.default_backend() == "tpu"
+    )
 
 
 def interpolate_kplanes_sorted(

@@ -6,10 +6,16 @@ viewer/server/viewer_utils.py:242, viewer/app/).  The TPU build ships a
 dependency-free stdlib HTTP server with an embedded orbit-control client:
 
   GET  /            the viewer page (vanilla JS, pointer-drag orbit,
-                    time slider for dynamic scenes)
+                    time slider for dynamic scenes, keyframe authoring)
   GET  /scene       scene metadata (camera poses, image size, has_time)
   POST /render      {"c2w": [[..]x3], "fov": deg, "width": W,
                     "height": H, "time": t} -> PNG bytes
+  POST /keyframe    {"c2w", "fov", "time"?} -> appended keyframe count
+  POST /clear_keyframes
+  POST /export_path {"width", "height", "steps_per_transition", "fps"}
+                    -> writes camera_path.json next to the checkpoint and
+                    returns it (consumed by snt-render --traj filename,
+                    the reference's CameraPanel -> ns-render loop)
 
 Progressive rendering: the client requests low resolution while moving
 and full resolution at rest — the same train-vs-render budget idea as
@@ -37,7 +43,10 @@ img { width:100vw; height:100vh; object-fit:contain; display:block; }
 input[type=range] { width:300px; }
 </style></head><body>
 <div id="hud">drag: orbit | wheel: zoom | <span id="st"></span><br>
-t: <input type="range" id="time" min="0" max="1" step="0.01" value="0"></div>
+t: <input type="range" id="time" min="0" max="1" step="0.01" value="0"><br>
+<button id="kf">+ keyframe</button> <button id="kfclear">clear</button>
+<button id="kfexport">export camera_path.json</button>
+<span id="kfst">0 keyframes</span></div>
 <img id="view">
 <script>
 let az=0.8, el=0.5, radius=2.5, t=0, busy=false, dirty=true, moving=0;
@@ -79,6 +88,19 @@ async function loop(){
   }
   requestAnimationFrame(loop);
 }
+const kfst=document.getElementById('kfst');
+document.getElementById('kf').onclick=async()=>{
+  const r=await fetch('/keyframe',{method:'POST',
+    body:JSON.stringify({c2w:c2w(),fov:60,time:t})});
+  kfst.textContent=(await r.json()).count+' keyframes';};
+document.getElementById('kfclear').onclick=async()=>{
+  await fetch('/clear_keyframes',{method:'POST',body:'{}'});
+  kfst.textContent='0 keyframes';};
+document.getElementById('kfexport').onclick=async()=>{
+  const r=await fetch('/export_path',{method:'POST',
+    body:JSON.stringify({width:1280,height:720})});
+  const j=await r.json();
+  kfst.textContent='saved '+(j.path||JSON.stringify(j));};
 poke(); loop();
 </script></body></html>"""
 
@@ -86,9 +108,34 @@ poke(); loop();
 class ViewerState:
     """Holds the trainer and renders requested cameras (thread-safe)."""
 
-    def __init__(self, trainer):
+    def __init__(self, trainer, output_dir: Path | None = None):
         self.trainer = trainer
         self.lock = threading.Lock()
+        self.keyframes: list = []
+        self.output_dir = Path(output_dir) if output_dir else Path.cwd()
+
+    def add_keyframe(self, c2w, fov, time=None) -> int:
+        kf = {"c2w": c2w, "fov": float(fov)}
+        if time is not None:
+            kf["time"] = float(time)
+        self.keyframes.append(kf)
+        return len(self.keyframes)
+
+    def export_path(self, width=1280, height=720, steps_per_transition=24,
+                    fps=24) -> dict:
+        from soccernerfs_tpu.core.camera_paths import keyframes_to_camera_path_json
+
+        if not self.keyframes:
+            return {"error": "no keyframes"}
+        payload = keyframes_to_camera_path_json(
+            self.keyframes, width, height, steps_per_transition, fps
+        )
+        out = self.output_dir / "camera_path.json"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(payload))
+        payload_meta = dict(payload)
+        payload_meta["path"] = str(out)
+        return payload_meta
 
     def render(self, c2w, fov_deg, width, height, time=None) -> bytes:
         from PIL import Image
@@ -143,28 +190,44 @@ def make_handler(state: ViewerState):
                 self._send(404, b"{}")
 
         def do_POST(self):
-            if self.path != "/render":
-                self._send(404, b"{}")
-                return
             length = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(length))
+            req = json.loads(self.rfile.read(length) or b"{}")
             try:
-                png = state.render(
-                    req["c2w"],
-                    req.get("fov", 60.0),
-                    int(req.get("width", 640)),
-                    int(req.get("height", 360)),
-                    req.get("time"),
-                )
-                self._send(200, png, "image/png")
-            except Exception as e:  # surface render errors to the client
+                if self.path == "/render":
+                    png = state.render(
+                        req["c2w"],
+                        req.get("fov", 60.0),
+                        int(req.get("width", 640)),
+                        int(req.get("height", 360)),
+                        req.get("time"),
+                    )
+                    self._send(200, png, "image/png")
+                elif self.path == "/keyframe":
+                    count = state.add_keyframe(
+                        req["c2w"], req.get("fov", 60.0), req.get("time")
+                    )
+                    self._send(200, json.dumps({"count": count}).encode())
+                elif self.path == "/clear_keyframes":
+                    state.keyframes.clear()
+                    self._send(200, b"{}")
+                elif self.path == "/export_path":
+                    payload = state.export_path(
+                        int(req.get("width", 1280)),
+                        int(req.get("height", 720)),
+                        int(req.get("steps_per_transition", 24)),
+                        int(req.get("fps", 24)),
+                    )
+                    self._send(200, json.dumps(payload).encode())
+                else:
+                    self._send(404, b"{}")
+            except Exception as e:  # surface errors to the client
                 self._send(500, json.dumps({"error": str(e)}).encode())
 
     return Handler
 
 
-def serve(trainer, port: int = 7007):
-    state = ViewerState(trainer)
+def serve(trainer, port: int = 7007, output_dir=None):
+    state = ViewerState(trainer, output_dir)
     server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(state))
     print(f"[viewer] serving on http://localhost:{port}")
     server.serve_forever()
@@ -179,7 +242,7 @@ def main(argv=None):
     from soccernerfs_tpu.utils.eval_utils import eval_setup
 
     _, trainer, _ = eval_setup(args.load_config, "inference")
-    serve(trainer, args.port)
+    serve(trainer, args.port, output_dir=args.load_config.parent)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,57 @@
+"""Viewer camera-path authoring round-trip.
+
+The viewer's keyframe endpoints export a camera_path.json that
+snt-render --traj filename consumes — closing the reference's
+CameraPanel -> ns-render loop (ref: viewer/app CameraPanel,
+camera_paths.py:116-164, scripts/render.py:47-117).
+"""
+import json
+
+import numpy as np
+
+from soccernerfs_tpu.core.camera_paths import (
+    get_path_from_json,
+    keyframes_to_camera_path_json,
+)
+from soccernerfs_tpu.viewer.server import ViewerState
+
+
+def _kf(pos, fov, time=None):
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[:, 3] = pos
+    kf = {"c2w": c2w.tolist(), "fov": fov}
+    if time is not None:
+        kf["time"] = time
+    return kf
+
+
+def test_keyframes_interpolate_and_parse():
+    kfs = [_kf([0, 0, 2], 50.0, 0.0), _kf([1, 0, 2], 70.0, 1.0)]
+    payload = keyframes_to_camera_path_json(kfs, 64, 48, steps_per_transition=4)
+    assert payload["render_width"] == 64 and payload["render_height"] == 48
+    assert len(payload["camera_path"]) == 5  # 4 interpolated + final
+
+    cams = get_path_from_json(payload)
+    assert cams.num_cameras == 5
+    # endpoints are the keyframes; position interpolates linearly
+    c2w = np.asarray(cams.camera_to_worlds)
+    np.testing.assert_allclose(c2w[0, :, 3], [0, 0, 2], atol=1e-6)
+    np.testing.assert_allclose(c2w[-1, :, 3], [1, 0, 2], atol=1e-6)
+    np.testing.assert_allclose(c2w[2, 0, 3], 0.5, atol=1e-6)
+    # fov interpolates -> focal differs per frame; times carried through
+    assert np.asarray(cams.fx)[0] > np.asarray(cams.fx)[-1]
+    np.testing.assert_allclose(np.asarray(cams.times)[[0, -1]], [0.0, 1.0])
+
+
+def test_viewer_state_export_writes_json(tmp_path):
+    state = ViewerState(trainer=None, output_dir=tmp_path)
+    c2w = np.eye(4, dtype=np.float32)[:3].tolist()
+    assert state.add_keyframe(c2w, 60.0, 0.2) == 1
+    assert state.add_keyframe(c2w, 60.0, 0.8) == 2
+    payload = state.export_path(width=32, height=24, steps_per_transition=3)
+    saved = json.loads((tmp_path / "camera_path.json").read_text())
+    assert saved["render_width"] == 32
+    assert len(saved["camera_path"]) == 4
+    cams = get_path_from_json(saved)
+    assert cams.num_cameras == 4
+    assert payload["path"].endswith("camera_path.json")
