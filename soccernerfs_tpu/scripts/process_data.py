@@ -130,6 +130,46 @@ def main(argv=None):
     p.add_argument("--output-dir", type=Path, required=True)
     p.set_defaults(fn=cmd_colmap_to_json)
 
+    # capture-app converters (ref: process_data/{polycam,record3d,
+    # metashape,realitycapture,insta360}_utils.py)
+    from soccernerfs_tpu.scripts import capture_converters as cc
+
+    p = sub.add_parser("polycam")
+    p.add_argument("--data", type=Path, required=True)
+    p.add_argument("--output-dir", type=Path, required=True)
+    p.add_argument("--min-blur-score", type=float, default=25.0)
+    p.add_argument("--crop-border-pixels", type=int, default=15)
+    p.set_defaults(fn=lambda a: print("\n".join(cc.polycam_to_json(
+        a.data, a.output_dir, a.min_blur_score, a.crop_border_pixels))))
+
+    p = sub.add_parser("record3d")
+    p.add_argument("--data", type=Path, required=True)
+    p.add_argument("--output-dir", type=Path, required=True)
+    p.add_argument("--max-dataset-size", type=int, default=300)
+    p.set_defaults(fn=lambda a: print(
+        f"registered {cc.record3d_to_json(a.data, a.output_dir, a.max_dataset_size)} frames"))
+
+    p = sub.add_parser("metashape")
+    p.add_argument("--data", type=Path, required=True, help="image directory")
+    p.add_argument("--xml", type=Path, required=True)
+    p.add_argument("--output-dir", type=Path, required=True)
+    p.set_defaults(fn=lambda a: print("\n".join(
+        cc.metashape_to_json(a.xml, a.data, a.output_dir))))
+
+    p = sub.add_parser("realitycapture")
+    p.add_argument("--data", type=Path, required=True, help="image directory")
+    p.add_argument("--csv", type=Path, required=True)
+    p.add_argument("--output-dir", type=Path, required=True)
+    p.set_defaults(fn=lambda a: print("\n".join(
+        cc.realitycapture_to_json(a.csv, a.data, a.output_dir))))
+
+    p = sub.add_parser("insta360")
+    p.add_argument("--data", type=Path, required=True)
+    p.add_argument("--output-dir", type=Path, required=True)
+    p.add_argument("--num-frames-target", type=int, default=300)
+    p.set_defaults(fn=lambda a: cc.convert_insta360(
+        a.data, a.output_dir, a.num_frames_target))
+
     args = parser.parse_args(argv)
     args.output_dir.mkdir(parents=True, exist_ok=True)
     args.fn(args)
