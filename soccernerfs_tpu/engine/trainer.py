@@ -149,7 +149,12 @@ class Trainer:
         from soccernerfs_tpu.viewer.server import serve
 
         port = self.config.viewer.websocket_port
-        t = threading.Thread(target=serve, args=(self, port), daemon=True)
+        t = threading.Thread(
+            target=serve,
+            args=(self, port),
+            kwargs={"output_dir": self.config.get_base_dir()},
+            daemon=True,
+        )
         t.start()
 
     def cam_opt_cfg_optimizer(self):

@@ -139,8 +139,7 @@ def _fwd_kernel(ts_ref, meta_ref, table_ref, out_ref,
         jax.lax.fori_loop(0, n, body, 0)
 
 
-def _bwd_kernel(ts_ref, mg_ref, grad_block_ref,
-                s_mg, sems, *, tr: int, group: int, planes: int):
+def _bwd_kernel(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int):
     """Multi-plane scatter: all ``planes`` share the stripe axis (their
     tile ranges are identical), so one pass over the sorted points feeds
     ``planes`` gradient tables and the per-iteration loop overhead is
@@ -152,6 +151,8 @@ def _bwd_kernel(ts_ref, mg_ref, grad_block_ref,
       [8*P : 8*P + 4)      shared ty (the stripe coordinate's fraction)
       [8*P + 4 : ... )     P gradient blocks of CHUNK rows each
     """
+    grad_refs = refs[:planes]          # one grad-table output per plane
+    s_mg, sems = refs[planes:]
     b = pl.program_id(0)
     nbuf = s_mg.shape[0]
     p_meta = 8 * planes + SUB
@@ -182,8 +183,8 @@ def _bwd_kernel(ts_ref, mg_ref, grad_block_ref,
         n = jnp.maximum((end + SC - 1) // SC - r0, 0)
         base = t * tr
 
-        grad_block_ref[:, g * tr:(g + 1) * tr] = jnp.zeros(
-            (planes, tr, LANES), jnp.float32)
+        for p in range(planes):
+            grad_refs[p][g * tr:(g + 1) * tr] = jnp.zeros((tr, LANES), jnp.float32)
 
         for w in range(nbuf - 1):
             @pl.when(w < n)
@@ -219,7 +220,7 @@ def _bwd_kernel(ts_ref, mg_ref, grad_block_ref,
                 # and ONE VMEM read-modify-write of the grad block per plane
                 oh = jnp.concatenate(ohs, axis=0)             # [SC, tr]
                 gw = jnp.concatenate(gws, axis=0)             # [SC, LANES]
-                grad_block_ref[p, g * tr:(g + 1) * tr] += jax.lax.dot_general(
+                grad_refs[p][g * tr:(g + 1) * tr] += jax.lax.dot_general(
                     oh, gw,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -385,7 +386,7 @@ def packed_bilerp_bwd_group(gs, rowids, txs, ty, *, r: int, tr: int = 1024,
     mg = jnp.concatenate(parts, axis=1)      # [S, 8P+4+128P, CHUNK]
     ts = tile_starts(rowids[0], r_pad, tr)
 
-    grad = pl.pallas_call(
+    grads = pl.pallas_call(
         functools.partial(_bwd_kernel, tr=tr, group=group, planes=planes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -393,19 +394,28 @@ def packed_bilerp_bwd_group(gs, rowids, txs, ty, *, r: int, tr: int = 1024,
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),            # meta+g blocks
             ],
-            out_specs=pl.BlockSpec((planes, tr * group, LANES),
-                                   lambda b, ts: (0, b, 0)),
+            # one grad table per plane: separate outputs avoid a [P, R, 4F]
+            # split copy (~1 GB at the finest scale) after the kernel
+            out_specs=tuple(
+                pl.BlockSpec((tr * group, LANES), lambda b, ts: (b, 0))
+                for _ in range(planes)
+            ),
             scratch_shapes=[
                 pltpu.VMEM((BWD_NBUF, 8 * planes + SUB + planes * CHUNK,
                             CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((BWD_NBUF,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((planes, r_pad, LANES), jnp.float32),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((r_pad, LANES), jnp.float32)
+            for _ in range(planes)
+        ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(ts, mg)
-    return [grad[p, :r] for p in range(planes)]
+    if planes == 1:
+        grads = (grads,) if not isinstance(grads, (tuple, list)) else grads
+    return [g[:r] for g in grads]
 
 
 def packed_bilerp_bwd(g_sorted, idx_sorted, tx, ty, *, r: int, tr: int = 1024,
