@@ -65,3 +65,19 @@ def test_plugin_discovery_from_entry_points(tmp_path, monkeypatch):
     assert "dummy-method" in methods
     assert descriptions["dummy-method"] == "a test plugin"
     sys.modules.pop("dummy_snt_plugin", None)
+
+
+def test_completions_install_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("HOME", str(tmp_path))
+    from soccernerfs_tpu.scripts import completions as comp
+
+    script = comp.install("bash", tmp_path / "completions")
+    text = script.read_text()
+    assert "snt-train" in text and "k-planes" in text and "blender-data" in text
+    rc = tmp_path / ".bashrc"
+    assert f"source {script}" in rc.read_text()
+    # idempotent
+    comp.install("bash", tmp_path / "completions")
+    assert rc.read_text().count("source ") == 1
+    comp.uninstall("bash")
+    assert "source" not in rc.read_text()
