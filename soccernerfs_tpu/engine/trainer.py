@@ -171,17 +171,15 @@ class Trainer:
         train_cameras = self.train_cameras
         base_rng = self.train_rng
 
+        mesh = self.mesh
+        n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+
         def train_step(
             state: TrainState,
             batch: Dict[str, jnp.ndarray],
             static_kwargs: tuple = (),
         ):
             step = state.step
-            # split every key needed this step from the folded step key up
-            # front so no key is both consumed and re-split (independence)
-            rng, rng_loss, rng_aux = jax.random.split(
-                jax.random.fold_in(base_rng, step), 3
-            )
             if hasattr(model, "schedules"):
                 sched_kwargs, new_aux = model.schedules(model_cfg, step, state.aux)
             else:
@@ -191,26 +189,69 @@ class Trainer:
             # backward passes (see models/kplanes.host_static_kwargs)
             sched_kwargs.update(dict(static_kwargs))
 
-            def loss_fn(params):
-                cam_opt = apply_camera_optimizer(
-                    cam_opt_cfg, params.get("camera_opt"), batch["cam_idx"]
-                )
-                rays = generate_rays(
-                    train_cameras, batch["cam_idx"], batch["coords"], cam_opt
-                )
-                outputs = model.get_outputs(
-                    model_cfg, params, aabb, rays, rng=rng, train=True, **sched_kwargs
-                )
-                metrics = model.get_metrics_dict(model_cfg, outputs, batch, step)
-                loss_dict = model.get_loss_dict(
-                    model_cfg, params, outputs, batch, metrics, train=True, rng=rng_loss
-                )
-                loss = functools.reduce(jnp.add, loss_dict.values())
-                return loss, (loss_dict, metrics)
+            def local_grads(params, batch):
+                """Per-device loss + grads over the LOCAL ray shard.  Under
+                shard_map each device folds its axis index into the rng
+                (the reference's per-rank DDP randomness) and the gradient
+                all-reduce is an explicit pmean over the data axis — the
+                NCCL replacement that also keeps Pallas custom calls legal
+                under SPMD (they cannot be auto-partitioned)."""
+                rng0 = jax.random.fold_in(base_rng, step)
+                if n_dev > 1:
+                    rng0 = jax.random.fold_in(
+                        rng0, jax.lax.axis_index(meshlib.DATA_AXIS)
+                    )
+                # split every key needed this step up front so no key is
+                # both consumed and re-split (independence)
+                rng, rng_loss = jax.random.split(rng0)
 
-            (loss, (loss_dict, metrics)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
+                def loss_fn(params):
+                    cam_opt = apply_camera_optimizer(
+                        cam_opt_cfg, params.get("camera_opt"), batch["cam_idx"]
+                    )
+                    rays = generate_rays(
+                        train_cameras, batch["cam_idx"], batch["coords"], cam_opt
+                    )
+                    outputs = model.get_outputs(
+                        model_cfg, params, aabb, rays, rng=rng, train=True,
+                        **sched_kwargs
+                    )
+                    metrics = model.get_metrics_dict(model_cfg, outputs, batch, step)
+                    loss_dict = model.get_loss_dict(
+                        model_cfg, params, outputs, batch, metrics, train=True,
+                        rng=rng_loss,
+                    )
+                    loss = functools.reduce(jnp.add, loss_dict.values())
+                    return loss, (loss_dict, metrics)
+
+                (loss, (loss_dict, metrics)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                if n_dev > 1:
+                    loss, loss_dict, metrics, grads = jax.lax.pmean(
+                        (loss, loss_dict, metrics, grads), meshlib.DATA_AXIS
+                    )
+                return loss, loss_dict, metrics, grads
+
+            if n_dev > 1:
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                loss, loss_dict, metrics, grads = shard_map(
+                    local_grads,
+                    mesh=mesh,
+                    in_specs=(P(), P(meshlib.DATA_AXIS)),
+                    out_specs=P(),
+                    check_rep=False,
+                )(state.params, batch)
+            else:
+                loss, loss_dict, metrics, grads = local_grads(state.params, batch)
+
+            # aux updates (occupancy EMA) run replicated, outside shard_map;
+            # a distinct fold keeps this key independent of the loss keys
+            rng_aux = jax.random.fold_in(
+                jax.random.fold_in(base_rng, step), 0x7FFFFFFF
+            )
             updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             if hasattr(model, "update_aux"):

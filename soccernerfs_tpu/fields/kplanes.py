@@ -87,6 +87,21 @@ def init_plane_grids(
 SORTED_SAMPLER_ALLOWED = True
 
 
+def _sampled_planes(pts_dim: int, n_planes: int):
+    """(grid_index, (c1, c2)) pairs to sample for ``pts_dim`` coordinates.
+
+    When a 4D (time) model is queried WITHOUT times (static datasets), only
+    the spatial planes are sampled — and their grid indices must be looked
+    up in the 4D combination order (XY=0, XZ=1, XT=2, YZ=3, ...): naive
+    enumeration would silently sample XT in place of YZ.
+    """
+    grid_dim = 4 if n_planes == 6 else 3
+    grid_combs = plane_combinations(grid_dim)
+    return [
+        (grid_combs.index(pair), pair) for pair in plane_combinations(pts_dim)
+    ]
+
+
 def _use_sorted_sampler(ms_grids) -> bool:
     """The stripe-sorted Pallas-backward path needs 4F == 128, a TPU, and
     position gradients to be unnecessary (PDF bins are detached and the
@@ -114,7 +129,6 @@ def interpolate_kplanes_sorted(
     need just 3 sorts (y, z, t) + 3 inverse-permutation gathers.
     """
     dim = pts.shape[-1]
-    combs = plane_combinations(dim)
     has_time = dim == 4
     m = pts.shape[0]
     iota = jnp.arange(m, dtype=jnp.int32)
@@ -124,15 +138,18 @@ def interpolate_kplanes_sorted(
     pts = jax.lax.stop_gradient(pts)
 
     groups: dict = {}
-    for ci, (c1, c2) in enumerate(combs):
+    for ci, (c1, c2) in _sampled_planes(dim, len(ms_grids[0])):
         if freeze_time_planes and has_time and 3 in (c1, c2):
             continue
-        groups.setdefault(c2, []).append((ci, c1))
+        # group kernels need identical table shapes: split non-cubic
+        # resolutions by the plane width (reso[c1])
+        key = (c2, ms_grids[0][ci].shape[1])
+        groups.setdefault(key, []).append((ci, c1))
 
     n_scales = len(ms_grids)
     f = ms_grids[0][0].shape[-1]
     group_partials = []  # per group: [M, S*F] in ORIGINAL point order
-    for c2, members in groups.items():
+    for (c2, _w0), members in groups.items():
         sorted_ops = jax.lax.sort(
             (pts[:, c2], *(pts[:, d] for d in range(dim)), iota), num_keys=1
         )
@@ -210,13 +227,12 @@ def interpolate_kplanes(
             freeze_time_planes=freeze_time_planes,
             freeze_space_planes=freeze_space_planes,
         )
-    combs = plane_combinations(pts.shape[-1])
     has_time = pts.shape[-1] == 4
     sampler = sample_plane_bilinear_packed if packed else sample_plane_bilinear
     per_scale = []
     for grids in ms_grids:
         interp_space = 1.0
-        for ci, (c1, c2) in enumerate(combs):
+        for ci, (c1, c2) in _sampled_planes(pts.shape[-1], len(grids)):
             is_time_plane = has_time and 3 in (c1, c2)
             if freeze_time_planes and is_time_plane:
                 continue

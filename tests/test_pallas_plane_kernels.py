@@ -117,3 +117,39 @@ def test_sorted_interpolation_matches_reference(dim):
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-2
         )
+
+
+def test_static_query_of_time_model_samples_spatial_planes():
+    """A 4D (time) model queried WITHOUT times must sample XY/XZ/YZ — the
+    4D plane order is XY,XZ,XT,YZ,YT,ZT, so naive indexing would silently
+    sample XT in place of YZ (round-1 latent bug, crashed the sorted
+    path's shape-grouped kernels)."""
+    rng = np.random.default_rng(5)
+    f, m = 32, 200
+    ms_grids = [kpf.init_plane_grids(jax.random.PRNGKey(0), f, (8, 10, 12, 5))]
+    pts3 = jnp.asarray(rng.uniform(-1, 1, (m, 3)).astype(np.float32))
+
+    out_sorted = kpf.interpolate_kplanes_sorted(pts3, ms_grids, concat_features=True)
+    out_ref = kpf.interpolate_kplanes(pts3, ms_grids, concat_features=True)
+
+    # explicit spatial-plane product: XY=grids[0], XZ=grids[1], YZ=grids[3]
+    expect = (
+        gs.sample_plane_bilinear_packed(ms_grids[0][0], pts3[:, (0, 1)])
+        * gs.sample_plane_bilinear_packed(ms_grids[0][1], pts3[:, (0, 2)])
+        * gs.sample_plane_bilinear_packed(ms_grids[0][3], pts3[:, (1, 2)])
+    )
+    scale = np.abs(np.asarray(expect)).max()
+    np.testing.assert_allclose(
+        np.asarray(out_sorted) / scale, np.asarray(expect) / scale, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ref) / scale, np.asarray(expect) / scale, atol=2e-2
+    )
+
+    # gradients land only on the three spatial planes
+    g = jax.grad(lambda grids: jnp.sum(
+        kpf.interpolate_kplanes_sorted(pts3, grids, concat_features=True) ** 2
+    ))(ms_grids)
+    for ci, nonzero in enumerate([True, True, False, True, False, False]):
+        got = bool(np.abs(np.asarray(g[0][ci])).max() > 0)
+        assert got == nonzero, f"plane {ci}: grad nonzero={got}, want {nonzero}"
