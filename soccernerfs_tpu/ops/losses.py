@@ -102,17 +102,24 @@ def distortion_loss(weights_list, ray_samples_list) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def compute_plane_tv(t: jnp.ndarray, only_w: bool = False) -> jnp.ndarray:
-    """Mean squared difference TV over plane rows/cols (ref: losses.py:356-366)."""
-    h_tv = jnp.mean(jnp.square(t[1:, :, :] - t[:-1, :, :]))
-    w_tv = jnp.mean(jnp.square(t[:, 1:, :] - t[:, :-1, :]))
+    """Mean squared difference TV over plane rows/cols (ref: losses.py:356-366).
+
+    Differences are taken in bf16 (halves the dominant whole-table reads;
+    squares/means accumulate in f32) — the same precision the tables are
+    sampled at on the render path.
+    """
+    t = t.astype(jnp.bfloat16)
+    h_tv = jnp.mean(jnp.square((t[1:, :, :] - t[:-1, :, :]).astype(jnp.float32)))
+    w_tv = jnp.mean(jnp.square((t[:, 1:, :] - t[:, :-1, :]).astype(jnp.float32)))
     return w_tv if only_w else h_tv + w_tv
 
 
 def compute_plane_smoothness(t: jnp.ndarray) -> jnp.ndarray:
     """1D second-difference (Laplacian) over the H axis — for time planes H
-    is time (ref: losses.py:369-380)."""
+    is time (ref: losses.py:369-380).  bf16 diffs, f32 accumulation."""
+    t = t.astype(jnp.bfloat16)
     first = t[1:, :, :] - t[:-1, :, :]
-    second = first[1:, :, :] - first[:-1, :, :]
+    second = (first[1:, :, :] - first[:-1, :, :]).astype(jnp.float32)
     return jnp.mean(jnp.square(second))
 
 
