@@ -40,6 +40,7 @@ from soccernerfs_tpu.ops.grid_sample import (
     grid_coords,
     permute_rows,
     plane_sample_sorted,
+    plane_sample_group_bwdsort,
     plane_sample_sorted_group,
     quad_pack,
     sample_plane_bilinear,
@@ -201,6 +202,61 @@ def interpolate_kplanes_sorted(
     return out
 
 
+def interpolate_kplanes_bwdsorted(
+    pts: jnp.ndarray,
+    ms_grids,
+    concat_features: bool,
+    freeze_time_planes: bool = False,
+    freeze_space_planes: bool = False,
+) -> jnp.ndarray:
+    """TPU path for NARROW features (proposal fields, 4F < 128): forward
+    stays the unsorted XLA gather (already at the small-table floor); the
+    sort + Pallas scatter run only inside the backward — which the
+    host-static proposal schedule prunes on most steps anyway."""
+    dim = pts.shape[-1]
+    has_time = dim == 4
+    pts = jax.lax.stop_gradient(pts)
+
+    groups: dict = {}
+    for ci, (c1, c2) in _sampled_planes(dim, len(ms_grids[0])):
+        if freeze_time_planes and has_time and 3 in (c1, c2):
+            continue
+        key = (c2, ms_grids[0][ci].shape[1])
+        groups.setdefault(key, []).append((ci, c1))
+
+    n_scales = len(ms_grids)
+    f = ms_grids[0][0].shape[-1]
+    per_scale = [1.0] * n_scales
+    for (c2, _w0), members in groups.items():
+        for s, grids in enumerate(ms_grids):
+            packeds, rowids, txs = [], [], []
+            tyf = None
+            w = None
+            for ci, c1 in members:
+                is_time_plane = has_time and 3 in (c1, c2)
+                grid = grids[ci]
+                if freeze_space_planes and not is_time_plane:
+                    grid = jax.lax.stop_gradient(grid)
+                h, w, _f = grid.shape
+                xc, txf = grid_coords(pts[:, c1], w)
+                yc, tyf = grid_coords(pts[:, c2], h)
+                packeds.append(quad_pack(grid))
+                rowids.append(yc * w + xc)
+                txs.append(txf)
+            feats = plane_sample_group_bwdsort(
+                packeds, rowids, txs, tyf, pts[:, c2],
+                w=w, use_pallas_bwd=True,
+            )
+            for fo in feats:
+                per_scale[s] = per_scale[s] * fo
+    if concat_features:
+        return jnp.concatenate(per_scale, axis=-1)
+    out = per_scale[0]
+    for p in per_scale[1:]:
+        out = out + p
+    return out
+
+
 def interpolate_kplanes(
     pts: jnp.ndarray,
     ms_grids,
@@ -223,6 +279,19 @@ def interpolate_kplanes(
     """
     if packed and _use_sorted_sampler(ms_grids):
         return interpolate_kplanes_sorted(
+            pts, ms_grids, concat_features,
+            freeze_time_planes=freeze_time_planes,
+            freeze_space_planes=freeze_space_planes,
+        )
+    feat = ms_grids[0][0].shape[-1]
+    if (
+        packed
+        and SORTED_SAMPLER_ALLOWED
+        and feat * 4 == 32
+        and jax.default_backend() == "tpu"
+        and all(g.shape[1] % 4 == 0 for g in ms_grids[0])
+    ):
+        return interpolate_kplanes_bwdsorted(
             pts, ms_grids, concat_features,
             freeze_time_planes=freeze_time_planes,
             freeze_space_planes=freeze_space_planes,

@@ -276,3 +276,93 @@ def plane_sample_sorted(
         [packed_f32], [rowid], [tx], ty,
         w=w, use_pallas_bwd=use_pallas_bwd, interpret=interpret,
     )[0]
+
+
+def plane_sample_group_bwdsort(
+    packeds,
+    rowids,
+    txs,
+    ty: jnp.ndarray,
+    ykey: jnp.ndarray,
+    *,
+    w: int,
+    use_pallas_bwd: bool,
+    interpret: bool | None = None,
+):
+    """Like plane_sample_sorted_group but the points arrive UNSORTED and
+    the sort happens inside the BACKWARD only.
+
+    For the proposal fields the forward gather is already at the
+    small-table floor, and sorting every step just to speed a backward
+    that the host-static schedule prunes on ~6/7 steps would be a net
+    loss; here the sort + gradient permute run only when the proposal
+    backward actually executes.
+
+    Args:
+        ykey: the shared stripe coordinate (continuous), the sort key.
+        Other args as plane_sample_sorted_group, but row ids in ANY order.
+    """
+    r, lanes = packeds[0].shape
+    feat = lanes // 4
+    if interpret is None:
+        interpret = PALLAS_INTERPRET
+
+    if not use_pallas_bwd or FORCE_XLA_BWD:
+        return [
+            _bilerp_rows(p, rowid, tx, ty, feat)
+            for p, rowid, tx in zip(packeds, rowids, txs)
+        ]
+
+    from soccernerfs_tpu.ops.pallas import plane_kernels as pk
+
+    planes = len(packeds)
+    m = rowids[0].shape[0]
+    g_pack = 128 // lanes
+    w4 = max(1, w // g_pack)
+    r4 = r // g_pack
+    span = max(1, (r4 * 512) // max(m, 1))
+    tr = w4 * max(1, min(-(-span // w4), max(1, 2048 // w4), -(-r4 // w4)))
+    group = max(1, min(4096 // (tr * planes), -(-r4 // tr)))
+
+    @jax.custom_vjp
+    def op(packeds, rowids, txs, ty, ykey):
+        return [
+            _bilerp_rows(p, rowid, tx, ty, feat)
+            for p, rowid, tx in zip(packeds, rowids, txs)
+        ]
+
+    def op_fwd(packeds, rowids, txs, ty, ykey):
+        return op(packeds, rowids, txs, ty, ykey), (rowids, txs, ty, ykey)
+
+    def op_bwd(res, gs):
+        rowids_, txs_, ty_, ykey_ = res
+        iota = jnp.arange(m, dtype=jnp.int32)
+        sorted_ops = jax.lax.sort(
+            (ykey_, *rowids_, *txs_, ty_, iota), num_keys=1
+        )
+        s_rowids = list(sorted_ops[1 : 1 + planes])
+        s_txs = list(sorted_ops[1 + planes : 1 + 2 * planes])
+        s_ty = sorted_ops[1 + 2 * planes]
+        perm = sorted_ops[-1]
+        g_cat = jnp.take(
+            jnp.concatenate([g.astype(jnp.bfloat16) for g in gs], axis=-1),
+            perm, axis=0,
+        ).astype(jnp.float32)
+        gs_sorted = [
+            g_cat[:, p * feat : (p + 1) * feat] for p in range(planes)
+        ]
+        grads = pk.packed_bilerp_bwd_group(
+            gs_sorted, s_rowids, s_txs, s_ty, r=r, tr=tr, group=group,
+            interpret=interpret,
+        )
+        zero_i = [np.zeros(ri.shape, dtype=jax.dtypes.float0) for ri in rowids_]
+        return (
+            [g.astype(packeds[0].dtype) for g in grads],
+            zero_i,
+            [jnp.zeros_like(t) for t in txs_],
+            jnp.zeros_like(ty_),
+            jnp.zeros_like(ykey_),
+        )
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(list(packeds), list(rowids), list(txs), ty, ykey)

@@ -139,14 +139,20 @@ def _fwd_kernel(ts_ref, meta_ref, table_ref, out_ref,
         jax.lax.fori_loop(0, n, body, 0)
 
 
-def _bwd_kernel(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int):
+def _bwd_kernel(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int,
+                feat: int = FEAT):
     """Multi-plane scatter: all ``planes`` share the stripe axis (their
     tile ranges are identical), so one pass over the sorted points feeds
     ``planes`` gradient tables and the per-iteration loop overhead is
     amortized across them.
 
+    For narrow features (4*feat < 128, e.g. the proposal fields' feat=8)
+    the table is ROW-PACKED: G = 128 // (4*feat) consecutive quad rows
+    share one 128-lane line, the kernel's row index is rowid >> log2(G)
+    and a per-point lane-group select places the gradient.
+
     mg block layout (rows of a [*, CHUNK] block):
-      [0 : 4*P)            row ids per plane            (SUB rows each)
+      [0 : 4*P)            quad row ids per plane       (SUB rows each)
       [4*P : 8*P)          tx per plane
       [8*P : 8*P + 4)      shared ty (the stripe coordinate's fraction)
       [8*P + 4 : ... )     P gradient blocks of CHUNK rows each
@@ -156,20 +162,23 @@ def _bwd_kernel(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int):
     b = pl.program_id(0)
     nbuf = s_mg.shape[0]
     p_meta = 8 * planes + SUB
+    g_pack = LANES // (4 * feat)       # quad rows per 128-lane line
+    shift = g_pack.bit_length() - 1
+    assert 1 << shift == g_pack
 
-    # T_j copies lane group j to ALL four groups: g_tile = g_blk @ T_j has
-    # g_j replicated across the 4 corner slots (no lane concats — Mosaic
-    # relayouts dominate the iteration otherwise)
+    # T_j spreads sub-chunk j's feat lanes across all LANES (out % feat):
+    # no lane concats — Mosaic relayouts dominate the iteration otherwise
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     lane_o = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     tilers = [
-        (lane_i - j * FEAT == lane_o % FEAT).astype(jnp.bfloat16)
+        (lane_i - j * feat == lane_o % feat).astype(jnp.bfloat16)
         for j in range(SUB)
     ]
-    # lane masks for the corner weights: [p00 p01 p10 p11] per 32 lanes
+    # corner-weight lane masks: [p00 p01 p10 p11] per 4*feat block
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    x_hi = (lane1 // FEAT) % 2 == 1                           # p01, p11
-    y_hi = lane1 // (2 * FEAT) == 1                           # p10, p11
+    x_hi = (lane1 % (4 * feat)) // feat % 2 == 1              # p01, p11
+    y_hi = (lane1 % (4 * feat)) // (2 * feat) == 1            # p10, p11
+    lane_grp = lane1 // (4 * feat)                            # packed slot
 
     def mg_cp(sc_row, slot):
         return pltpu.make_async_copy(mg_ref.at[sc_row], s_mg.at[slot],
@@ -206,7 +215,8 @@ def _bwd_kernel(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int):
                 g_blk = g_blk.astype(jnp.bfloat16)            # [CHUNK, LANES]
                 ohs, gws = [], []
                 for j in range(SUB):
-                    d2 = blk[SUB * p + j].astype(jnp.int32)[:, None] - base
+                    idx = blk[SUB * p + j].astype(jnp.int32)[:, None]
+                    d2 = (idx >> shift) - base
                     ohs.append((d2 == jax.lax.broadcasted_iota(
                         jnp.int32, (CHUNK, tr), 1)).astype(jnp.bfloat16))
                     tx = blk[SUB * (planes + p) + j][:, None]
@@ -215,7 +225,12 @@ def _bwd_kernel(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int):
                                      preferred_element_type=jnp.float32)
                     wx = jnp.where(x_hi, tx, 1.0 - tx)        # [CHUNK, LANES]
                     wy = jnp.where(y_hi, ty, 1.0 - ty)
-                    gws.append((wx * wy * g_tile).astype(jnp.bfloat16))
+                    gw_j = wx * wy * g_tile
+                    if g_pack > 1:
+                        # place into the point's packed lane slot
+                        gw_j = jnp.where(lane_grp == (idx & (g_pack - 1)),
+                                         gw_j, 0.0)
+                    gws.append(gw_j.astype(jnp.bfloat16))
                 # sublane concats (cheap, unlike lane concats) -> ONE matmul
                 # and ONE VMEM read-modify-write of the grad block per plane
                 oh = jnp.concatenate(ohs, axis=0)             # [SC, tr]
@@ -275,13 +290,13 @@ def unpack_features(out3, m: int):
 
 
 def pack_features(g, s_rows: int):
-    """[m, FEAT] point-major -> [S, CHUNK, LANES] kernel blocks."""
-    m = g.shape[0]
-    g = jnp.concatenate([g, jnp.zeros((s_rows * SC - m, FEAT), g.dtype)], 0)
+    """[m, feat] point-major -> [S, CHUNK, SUB*feat] kernel blocks."""
+    m, feat = g.shape
+    g = jnp.concatenate([g, jnp.zeros((s_rows * SC - m, feat), g.dtype)], 0)
     return (
-        g.reshape(s_rows, SUB, CHUNK, FEAT)
+        g.reshape(s_rows, SUB, CHUNK, feat)
         .transpose(0, 2, 1, 3)
-        .reshape(s_rows, CHUNK, SUB * FEAT)
+        .reshape(s_rows, CHUNK, SUB * feat)
     )
 
 
@@ -363,31 +378,48 @@ def packed_bilerp_bwd_group(gs, rowids, txs, ty, *, r: int, tr: int = 1024,
     the sorted points feeds all P gradient tables, amortizing the
     per-iteration loop overhead across the group.
 
+    Narrow features (4F < 128, the proposal fields) are row-packed:
+    G = 128 // 4F quad rows per 128-lane line; ``tr``/stripes are in
+    PACKED rows and row ids stay in quad-row units.
+
     Args:
         gs: P upstream gradients [M, F], in the shared sorted order.
-        rowids: P row-id arrays [M] (nondecreasing within stripes).
+        rowids: P QUAD row-id arrays [M] (nondecreasing within stripes).
         txs: P x-fraction arrays [M].
         ty: shared stripe-coordinate fraction [M].
+        r: quad-row count of each table.
     Returns:
         list of P fp32 [R, 4F] table gradients.
     """
     planes = len(gs)
-    assert all(4 * g.shape[-1] == LANES for g in gs)
-    r_pad, grid = _grid_shape(r, tr, group)
+    feat = gs[0].shape[-1]
+    g_pack = LANES // (4 * feat)
+    assert r % g_pack == 0
+    r4 = r // g_pack
+    r_pad, grid = _grid_shape(r4, tr, group)
     m = rowids[0].shape[0]
     pad = (-m) % SC + SC
     parts = (
-        [_rows(idx, float(r_pad + 1), pad) for idx in rowids]
+        [_rows(idx, float((r_pad + 1) * g_pack), pad) for idx in rowids]
         + [_rows(tx, 0.0, pad) for tx in txs]
         + [_rows(ty, 0.0, pad)]
     )
     s_rows = parts[0].shape[0]
-    parts += [pack_features(g.astype(jnp.float32), s_rows) for g in gs]
-    mg = jnp.concatenate(parts, axis=1)      # [S, 8P+4+128P, CHUNK]
-    ts = tile_starts(rowids[0], r_pad, tr)
+    g_blocks = [pack_features(g.astype(jnp.float32), s_rows) for g in gs]
+    if 4 * feat < LANES:  # pad the used lanes up to a full line
+        g_blocks = [
+            jnp.concatenate(
+                [gb, jnp.zeros(gb.shape[:2] + (LANES - 4 * feat,), gb.dtype)],
+                axis=-1,
+            )
+            for gb in g_blocks
+        ]
+    mg = jnp.concatenate(parts + g_blocks, axis=1)  # [S, 8P+4+128P, CHUNK]
+    ts = tile_starts(rowids[0] // g_pack, r_pad, tr)
 
     grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, tr=tr, group=group, planes=planes),
+        functools.partial(_bwd_kernel, tr=tr, group=group, planes=planes,
+                          feat=feat),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
@@ -415,7 +447,7 @@ def packed_bilerp_bwd_group(gs, rowids, txs, ty, *, r: int, tr: int = 1024,
     )(ts, mg)
     if planes == 1:
         grads = (grads,) if not isinstance(grads, (tuple, list)) else grads
-    return [g[:r] for g in grads]
+    return [g[:r4].reshape(r, 4 * feat) for g in grads]
 
 
 def packed_bilerp_bwd(g_sorted, idx_sorted, tx, ty, *, r: int, tr: int = 1024,

@@ -153,3 +153,35 @@ def test_static_query_of_time_model_samples_spatial_planes():
     for ci, nonzero in enumerate([True, True, False, True, False, False]):
         got = bool(np.abs(np.asarray(g[0][ci])).max() > 0)
         assert got == nonzero, f"plane {ci}: grad nonzero={got}, want {nonzero}"
+
+
+def test_bwdsorted_narrow_features_matches_reference():
+    """The proposal-field path (F=8, row-packed tables, sort-in-backward)
+    matches the XLA reference for values AND gradients."""
+    rng = np.random.default_rng(7)
+    f, m = 8, 700
+    ms_grids = [kpf.init_plane_grids(jax.random.PRNGKey(3), f, (16, 16, 16, 4))]
+    pts = jnp.asarray(rng.uniform(-1, 1, (m, 4)).astype(np.float32))
+
+    def run_new(grids):
+        return kpf.interpolate_kplanes_bwdsorted(pts, grids, concat_features=False)
+
+    def run_ref(grids):
+        per = 1.0
+        for ci, (c1, c2) in kpf._sampled_planes(4, 6):
+            per = per * gs.sample_plane_bilinear_packed(grids[0][ci], pts[:, (c1, c2)])
+        return per
+
+    out_n = run_new(ms_grids)
+    out_r = run_ref(ms_grids)
+    scale = np.abs(np.asarray(out_r)).max()
+    np.testing.assert_allclose(
+        np.asarray(out_n) / scale, np.asarray(out_r) / scale, atol=1e-2
+    )
+
+    cot = jnp.asarray(rng.standard_normal(out_r.shape, dtype=np.float32))
+    g_n = jax.grad(lambda g: jnp.vdot(run_new(g), cot))(ms_grids)
+    g_r = jax.grad(lambda g: jnp.vdot(run_ref(g), cot))(ms_grids)
+    for a, b in zip(jax.tree_util.tree_leaves(g_n), jax.tree_util.tree_leaves(g_r)):
+        s = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s, atol=3e-2)
