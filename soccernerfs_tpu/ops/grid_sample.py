@@ -232,9 +232,17 @@ def plane_sample_sorted_group(
     tr = w * max(1, min(-(-span // w), max(1, 2048 // w), -(-r // w)))
     # grad blocks are (P, tr*group, 128) f32, double-buffered: keep in VMEM
     group = max(1, min(4096 // (tr * planes), -(-r // tr)))
+    # big tables: XLA's gather pays ~9-13 ns/row; the in-kernel one-hot
+    # gather with fused lerp is cheaper there (small tables stay on XLA)
+    fwd_kernel = r >= 65536
 
     @jax.custom_vjp
     def op(packeds, rowids, txs, ty):
+        if fwd_kernel:
+            return pk.packed_bilerp_fwd_group(
+                packeds, rowids, txs, ty, tr=tr, group=group,
+                interpret=interpret,
+            )
         return [
             _bilerp_rows(p, rowid, tx, ty, feat)
             for p, rowid, tx in zip(packeds, rowids, txs)

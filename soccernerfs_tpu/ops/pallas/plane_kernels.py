@@ -71,9 +71,30 @@ def _onehot_block(meta, base, tr):
     return jnp.concatenate(ohs, axis=0), jnp.concatenate(masks, axis=1)
 
 
-def _fwd_kernel(ts_ref, meta_ref, table_ref, out_ref,
-                s_meta, s_out, sems, osem, *, tr: int, group: int):
+def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int):
+    """Multi-plane gather: mirrors _bwd_kernel's stripe/group structure.
+
+    The lerp runs in-kernel: each point's [CHUNK, LANES] one-hot matmul row
+    holds the 2x2 corner block; the corner weights are lane-masked selects
+    and the 4*FEAT block is reduced to FEAT lanes with a folding matmul
+    (out = rows_weighted @ FOLD, FOLD[l, f] = (l % FEAT == f)).
+
+    meta block rows: [0:4P) quad row ids, [4P:8P) tx, [8P:8P+4) shared ty.
+    Outputs: one [S, CHUNK, LANES] feature array per plane, lane group j
+    of block s holding chunk 4s+j (see pack_features).
+    """
+    table_refs = refs[:planes]
+    out_refs = refs[planes:2 * planes]
+    s_meta, s_out, sems, osem = refs[2 * planes:]
     b = pl.program_id(0)
+    nbuf = s_meta.shape[0]
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, FEAT), 0)
+    lane_o = jax.lax.broadcasted_iota(jnp.int32, (LANES, FEAT), 1)
+    fold = (lane_i % FEAT == lane_o).astype(jnp.float32)      # [LANES, FEAT]
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    x_hi = (lane1 // FEAT) % 2 == 1
+    y_hi = lane1 // (2 * FEAT) == 1
 
     def meta_cp(sc_row, slot):
         return pltpu.make_async_copy(meta_ref.at[sc_row], s_meta.at[slot],
@@ -86,54 +107,64 @@ def _fwd_kernel(ts_ref, meta_ref, table_ref, out_ref,
         r0 = start // SC
         n = jnp.maximum((end + SC - 1) // SC - r0, 0)
         base = t * tr
-        tile = table_ref[g * tr:(g + 1) * tr]
 
-        @pl.when(n > 0)
-        def _():
-            meta_cp(r0, 0).start()
+        for w in range(nbuf - 1):
+            @pl.when(w < n)
+            def _():
+                meta_cp(r0 + w, w).start()
 
         def body(k, _):
-            slot = jax.lax.rem(k, NBUF)
+            slot = jax.lax.rem(k, nbuf)
 
-            @pl.when(k + 1 < n)
+            @pl.when(k + nbuf - 1 < n)
             def _():
-                meta_cp(r0 + k + 1, jax.lax.rem(k + 1, NBUF)).start()
+                meta_cp(r0 + k + nbuf - 1,
+                        jax.lax.rem(k + nbuf - 1, nbuf)).start()
 
             meta_cp(r0 + k, slot).wait()
-            meta = s_meta[slot]                               # [3*SUB, CHUNK]
-            oh, mask = _onehot_block(meta, base, tr)
-            rows = jnp.dot(oh, tile, preferred_element_type=jnp.float32)
+            blk = s_meta[slot]
+            for p in range(planes):
+                tile = table_refs[p][g * tr:(g + 1) * tr]
+                vals, masks = [], []
+                for j in range(SUB):
+                    idx = blk[SUB * p + j].astype(jnp.int32)[:, None]
+                    d2 = idx - base
+                    oh = (d2 == jax.lax.broadcasted_iota(
+                        jnp.int32, (CHUNK, tr), 1)).astype(jnp.bfloat16)
+                    rows = jnp.dot(oh, tile,
+                                   preferred_element_type=jnp.float32)
+                    tx = blk[SUB * (planes + p) + j][:, None]
+                    ty = blk[8 * planes + j][:, None]
+                    wx = jnp.where(x_hi, tx, 1.0 - tx)
+                    wy = jnp.where(y_hi, ty, 1.0 - ty)
+                    # weighted corner rows folded to FEAT lanes on the MXU
+                    # (f32: an extra bf16 round here visibly degrades the
+                    # lerp vs the XLA reference)
+                    vals.append(jnp.dot(rows * wx * wy, fold,
+                                        preferred_element_type=jnp.float32))
+                    m = ((d2 >= 0) & (d2 < tr)).astype(jnp.float32)
+                    masks.append(jnp.broadcast_to(m, (CHUNK, FEAT)))
+                block = jnp.concatenate(vals, axis=1)         # [CHUNK, LANES]
+                mask = jnp.concatenate(masks, axis=1)
 
-            vals = []
-            for j in range(SUB):
-                r = rows[j * CHUNK:(j + 1) * CHUNK]           # [CHUNK, LANES]
-                tx = meta[SUB + j][:, None]
-                ty = meta[2 * SUB + j][:, None]
-                p00 = r[:, :FEAT]
-                p01 = r[:, FEAT:2 * FEAT]
-                p10 = r[:, 2 * FEAT:3 * FEAT]
-                p11 = r[:, 3 * FEAT:]
-                top = p00 * (1.0 - tx) + p01 * tx
-                bot = p10 * (1.0 - tx) + p11 * tx
-                vals.append(top * (1.0 - ty) + bot * ty)      # [CHUNK, FEAT]
-            block = jnp.concatenate(vals, axis=1)             # [CHUNK, LANES]
+                is_boundary = jnp.logical_or(k == 0, k == n - 1)
 
-            is_boundary = jnp.logical_or(k == 0, k == n - 1)
+                @pl.when(is_boundary)
+                def _():
+                    # merge with an adjacent stripe's write; real select —
+                    # foreign lanes may hold NaN bits
+                    cp_in = pltpu.make_async_copy(
+                        out_refs[p].at[r0 + k], s_out, osem)
+                    cp_in.start(); cp_in.wait()
+                    s_out[:] = jnp.where(mask > 0.5, block, s_out[:])
 
-            @pl.when(is_boundary)
-            def _():
-                # merge with what an adjacent stripe may have written; real
-                # select (not arithmetic) — foreign lanes may hold NaN bits
-                cp_in = pltpu.make_async_copy(out_ref.at[r0 + k], s_out, osem)
-                cp_in.start(); cp_in.wait()
-                s_out[:] = jnp.where(mask > 0.5, block, s_out[:])
+                @pl.when(jnp.logical_not(is_boundary))
+                def _():
+                    s_out[:] = block
 
-            @pl.when(jnp.logical_not(is_boundary))
-            def _():
-                s_out[:] = block
-
-            cp_out = pltpu.make_async_copy(s_out, out_ref.at[r0 + k], osem)
-            cp_out.start(); cp_out.wait()
+                cp_out = pltpu.make_async_copy(s_out, out_refs[p].at[r0 + k],
+                                               osem)
+                cp_out.start(); cp_out.wait()
             return 0
 
         jax.lax.fori_loop(0, n, body, 0)
@@ -313,47 +344,75 @@ def pick_tiling(r: int, w: int):
 
 
 @functools.partial(jax.jit, static_argnames=("tr", "group", "interpret"))
-def packed_bilerp_fwd(table_packed, idx_sorted, tx, ty, *, tr: int = 1024,
-                      group: int = 8, interpret: bool = False):
-    """Forward bilinear sample of a packed plane at stripe-sorted row ids.
+def packed_bilerp_fwd_group(tables, rowids, txs, ty, *, tr: int = 1024,
+                            group: int = 8, interpret: bool = False):
+    """Forward bilinear sample of P same-shaped packed planes sharing one
+    stripe axis, at stripe-sorted row ids; lerp fused in-kernel.
 
     Args:
-        table_packed: [R, 4F] (4F == 128) table, any float dtype (cast bf16).
-        idx_sorted: [M] int32 packed row ids, nondecreasing.
-        tx, ty: [M] f32 fractional offsets.
+        tables: P [R, 4F] (4F == 128) tables, any float dtype (cast bf16).
+        rowids: P [M] int32 packed row ids, nondecreasing in stripes.
+        txs: P [M] f32 x fractions; ty: shared [M] f32 y fraction.
     Returns:
-        [M, F] f32 interpolated features (in the sorted order).
+        list of P [M, F] f32 features (in the sorted order).
     """
-    r, lanes = table_packed.shape
+    planes = len(tables)
+    r, lanes = tables[0].shape
     assert lanes == LANES, f"packed width must be {LANES}, got {lanes}"
     r_pad, grid = _grid_shape(r, tr, group)
-    table = _pad_rows(table_packed.astype(jnp.bfloat16), tr * group)
-    meta = _prep_meta(idx_sorted, tx, ty, r_pad)
-    ts = tile_starts(idx_sorted, r_pad, tr)
+    tables_p = [
+        _pad_rows(t.astype(jnp.bfloat16), tr * group) for t in tables
+    ]
+    m = rowids[0].shape[0]
+    pad = (-m) % SC + SC
+    meta = jnp.concatenate(
+        [_rows(idx, float(r_pad + 1), pad) for idx in rowids]
+        + [_rows(tx, 0.0, pad) for tx in txs]
+        + [_rows(ty, 0.0, pad)],
+        axis=1,
+    )  # [S, 8P+4, CHUNK]
+    ts = tile_starts(rowids[0], r_pad, tr)
     s_rows = meta.shape[0]
 
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, tr=tr, group=group),
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, tr=tr, group=group, planes=planes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),            # meta blocks
-                pl.BlockSpec((tr * group, LANES), lambda b, ts: (b, 0)),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]      # meta blocks
+            + [
+                pl.BlockSpec((tr * group, LANES), lambda b, ts: (b, 0))
+                for _ in range(planes)
             ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_specs=tuple(
+                pl.BlockSpec(memory_space=pl.ANY) for _ in range(planes)
+            ),
             scratch_shapes=[
-                pltpu.VMEM((NBUF, 3 * SUB, CHUNK), jnp.float32),
+                pltpu.VMEM((NBUF, 8 * planes + SUB, CHUNK), jnp.float32),
                 pltpu.VMEM((CHUNK, LANES), jnp.float32),
                 pltpu.SemaphoreType.DMA((NBUF,)),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((s_rows, CHUNK, LANES), jnp.float32),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((s_rows, CHUNK, LANES), jnp.float32)
+            for _ in range(planes)
+        ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(ts, meta, table)
-    return unpack_features(out, idx_sorted.shape[0])
+    )(ts, meta, *tables_p)
+    if planes == 1:
+        outs = (outs,) if not isinstance(outs, (tuple, list)) else outs
+    return [unpack_features(o, m) for o in outs]
+
+
+def packed_bilerp_fwd(table_packed, idx_sorted, tx, ty, *, tr: int = 1024,
+                      group: int = 8, interpret: bool = False):
+    """Single-plane convenience wrapper over packed_bilerp_fwd_group."""
+    return packed_bilerp_fwd_group(
+        [table_packed], [idx_sorted], [tx], ty, tr=tr, group=group,
+        interpret=interpret,
+    )[0]
 
 
 BWD_NBUF = 4  # deeper prefetch: the per-chunk compute is often < DMA latency

@@ -185,3 +185,23 @@ def test_bwdsorted_narrow_features_matches_reference():
     for a, b in zip(jax.tree_util.tree_leaves(g_n), jax.tree_util.tree_leaves(g_r)):
         s = np.abs(np.asarray(b)).max() + 1e-6
         np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s, atol=3e-2)
+
+
+def test_fwd_group_kernel_exact():
+    """Multi-plane forward kernel (fused lerp) matches take+lerp."""
+    rng = np.random.default_rng(9)
+    r, m = 24 * 32, 600
+    tables = [jnp.asarray(rng.standard_normal((r, 128), dtype=np.float32))
+              for _ in range(2)]
+    order = np.sort(rng.integers(0, r, m).astype(np.int32))
+    rowids = [jnp.asarray(order), jnp.asarray(np.clip(order + 1, 0, r - 1))]
+    txs = [jnp.asarray(rng.uniform(0, 1, m).astype(np.float32)) for _ in range(2)]
+    ty = jnp.asarray(rng.uniform(0, 1, m).astype(np.float32))
+    outs = pk.packed_bilerp_fwd_group(tables, rowids, txs, ty, tr=96, group=2,
+                                      interpret=True)
+    for t, idx, tx, out in zip(tables, rowids, txs, outs):
+        ref = _ref_lerp(t, idx, tx, ty)
+        scale = np.abs(np.asarray(ref)).max()
+        np.testing.assert_allclose(
+            np.asarray(out) / scale, np.asarray(ref) / scale, atol=1e-2
+        )
