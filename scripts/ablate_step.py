@@ -57,7 +57,13 @@ def build(ablation: str):
         camera_to_worlds=c2w, fx=800.0, fy=800.0, cx=480.0, cy=270.0,
         width=960, height=540, times=np.linspace(0, 1, n_cams).astype(np.float32),
     )
-    optimizer = optax.adam(1e-2, eps=1e-12)
+    if "bf16adam" in ablation:
+        from soccernerfs_tpu.engine.optimizers import scale_by_adam_lowp
+        optimizer = optax.chain(
+            scale_by_adam_lowp(eps=1e-12), optax.scale(-1e-2)
+        )
+    else:
+        optimizer = optax.adam(1e-2, eps=1e-12)
     state = {
         "params": params,
         "opt_state": optimizer.init(params),

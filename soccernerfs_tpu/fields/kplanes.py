@@ -115,19 +115,30 @@ def _use_sorted_sampler(ms_grids) -> bool:
     )
 
 
-def interpolate_kplanes_sorted(
+def canonical_sorted_features(
     pts: jnp.ndarray,
     ms_grids,
     concat_features: bool,
     freeze_time_planes: bool = False,
     freeze_space_planes: bool = False,
-) -> jnp.ndarray:
-    """TPU path: per-axis sorted sampling with Pallas scatter backward.
+):
+    """TPU path: per-axis sorted sampling with Pallas scatter backward,
+    returning features in a CANONICAL sorted order.
 
     Pairs sharing the plane's y axis (c2) share one sort: sorting by the
     CONTINUOUS coordinate makes every scale's row-stripe ids nondecreasing
     at once (stripe membership depends only on y), so 6 planes x S scales
-    need just 3 sorts (y, z, t) + 3 inverse-permutation gathers.
+    need just 3 sorts (y, z, t).  Rather than permuting every group's
+    [M, S*F] partial back to ray order (3 wide permutes fwd+bwd), the two
+    smaller groups sort FROM the largest group's order — their sort
+    permutations then directly align them to that canonical order — and
+    the cross-group Hadamard + downstream MLPs run there; only the final
+    narrow outputs pay the permute back to ray order
+    (see kplanes_field_forward).
+
+    Returns:
+        (features [M, S*F or F] f32 in canonical order, perm, inv) where
+        ``x_ray = x_canon[inv]`` and ``x_canon = x_ray[perm]``.
     """
     dim = pts.shape[-1]
     has_time = dim == 4
@@ -149,17 +160,44 @@ def interpolate_kplanes_sorted(
 
     n_scales = len(ms_grids)
     f = ms_grids[0][0].shape[-1]
-    group_partials = []  # per group: [M, S*F] in ORIGINAL point order
-    for (c2, _w0), members in groups.items():
-        sorted_ops = jax.lax.sort(
-            (pts[:, c2], *(pts[:, d] for d in range(dim)), iota), num_keys=1
-        )
-        s_pts = sorted_ops[1 : 1 + dim]
-        perm = sorted_ops[-1]
-        inv = jax.lax.sort((perm, iota), num_keys=1)[1]
+    # one group's order is the canonical frame the pipeline runs in; the
+    # largest group (most planes) is the one whose alignment gather would
+    # cost the most, so IT gets to stay put
+    group_items = list(groups.items())
+    canon_gi = max(range(len(group_items)), key=lambda i: len(group_items[i][1]))
+
+    # canonical sort first; every other group's sort CARRIES the canonical
+    # position (inv_c) as an extra operand, so the alignment permutation
+    # falls out of the sort itself.  Everything per-point rides sort
+    # operands, never narrow gathers: a [M, k<=128] row gather pays the
+    # full ~3 ms per 262k rows (rows are lane-tile-padded) while an extra
+    # sort operand costs ~0.35 ms.
+    c2_c = group_items[canon_gi][0][0]
+    sorted_c = jax.lax.sort(
+        (pts[:, c2_c], *(pts[:, d] for d in range(dim)), iota), num_keys=1
+    )
+    pts_c = sorted_c[1 : 1 + dim]
+    perm_c = sorted_c[-1]
+    inv_c = jax.lax.sort((perm_c, iota), num_keys=1)[1]
+
+    group_partials = []  # per group: [M, S*F] bf16 in CANONICAL order
+    for gi, ((c2, _w0), members) in enumerate(group_items):
+        if gi == canon_gi:
+            s_pts = pts_c
+            comp = comp_inv = None
+        else:
+            sorted_g = jax.lax.sort(
+                (pts[:, c2], *(pts[:, d] for d in range(dim)), inv_c),
+                num_keys=1,
+            )
+            s_pts = sorted_g[1 : 1 + dim]
+            # canonical position of each g-sorted point = the backward
+            # permute index; its inverse is the forward alignment map
+            comp_inv = sorted_g[-1]
+            comp = jax.lax.sort((comp_inv, iota), num_keys=1)[1]
 
         # Hadamard within the group BEFORE leaving sorted order: only the
-        # group's [M, S*F] partial product pays the permute, not every plane
+        # group's [M, S*F] partial product pays the alignment gather
         partial = [1.0] * n_scales
         for s, grids in enumerate(ms_grids):
             packeds, rowids, txs = [], [], []
@@ -183,23 +221,52 @@ def interpolate_kplanes_sorted(
             for fo in feats:
                 partial[s] = partial[s] * fo
         stacked = jnp.concatenate(partial, axis=-1)          # [M, S*F]
-        # back to original point order; bf16 halves the permute bytes and
-        # matches the downstream MLPs' compute precision
-        stacked = permute_rows(stacked.astype(jnp.bfloat16), inv, perm)
-        group_partials.append(stacked.astype(jnp.float32))
+        # bf16 halves the alignment-gather bytes and matches the downstream
+        # MLPs' compute precision
+        stacked = stacked.astype(jnp.bfloat16)
+        if gi != canon_gi:
+            stacked = permute_rows(stacked, comp, comp_inv)
+        group_partials.append(stacked)
 
     per_scale = []
     for s in range(n_scales):
-        interp_space = group_partials[0][:, s * f : (s + 1) * f]
+        interp_space = group_partials[0][:, s * f : (s + 1) * f].astype(
+            jnp.float32
+        )
         for gp in group_partials[1:]:
-            interp_space = interp_space * gp[:, s * f : (s + 1) * f]
+            interp_space = interp_space * gp[:, s * f : (s + 1) * f].astype(
+                jnp.float32
+            )
         per_scale.append(interp_space)
     if concat_features:
-        return jnp.concatenate(per_scale, axis=-1)
+        return jnp.concatenate(per_scale, axis=-1), perm_c, inv_c
     out = per_scale[0]
     for p in per_scale[1:]:
         out = out + p
-    return out
+    return out, perm_c, inv_c
+
+
+def interpolate_kplanes_sorted(
+    pts: jnp.ndarray,
+    ms_grids,
+    concat_features: bool,
+    freeze_time_planes: bool = False,
+    freeze_space_planes: bool = False,
+) -> jnp.ndarray:
+    """Sorted-sampler features in ORIGINAL point order (one wide permute).
+
+    Density-only callers (proposal fields, exporters) use this; the fused
+    field pipeline (kplanes_field_forward) keeps the canonical order all
+    the way through the MLPs and permutes only [density, rgb] back.
+    """
+    feats, perm, inv = canonical_sorted_features(
+        pts, ms_grids, concat_features,
+        freeze_time_planes=freeze_time_planes,
+        freeze_space_planes=freeze_space_planes,
+    )
+    return permute_rows(feats.astype(jnp.bfloat16), inv, perm).astype(
+        jnp.float32
+    )
 
 
 def interpolate_kplanes_bwdsorted(
@@ -528,6 +595,113 @@ def kplanes_rgb(
     return mlp_apply(
         params["color_net"], color_features, activation="relu", output_activation="sigmoid"
     )
+
+
+def kplanes_field_forward(
+    cfg: KPlanesFieldConfig,
+    params: dict,
+    aabb: jnp.ndarray,
+    positions: jnp.ndarray,
+    directions: jnp.ndarray,
+    times: Optional[jnp.ndarray] = None,
+    camera_indices: Optional[jnp.ndarray] = None,
+    train: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused density+rgb field evaluation (= kplanes_density + kplanes_rgb).
+
+    On the TPU sorted-sampler path the whole pipeline — cross-group
+    Hadamard, sigma net, color net — runs in the CANONICAL sorted order
+    (canonical_sorted_features) and only the final pre-activation
+    [density, rgb] block ([M, 4]: one lane-tile) is permuted back to ray
+    order, instead of three [M, S*F] group partials.  Values are exactly
+    the separate-call path's (permutation commutes with row-wise ops).
+
+    Args:
+        positions: [M, 3] world; directions: [M, 3] unit (per sample);
+        times: [M] in [0, 1] or None; camera_indices: [M] int or None.
+    Returns:
+        (density [M], rgb [M, 3]).
+    """
+    if not _use_sorted_sampler(params["grids"]):
+        density, features = kplanes_density(cfg, params, aabb, positions, times)
+        return density, kplanes_rgb(
+            cfg, params, features, directions, camera_indices, train=train
+        )
+
+    pts = normalize_positions(positions, aabb, cfg.bounded)
+    pts = _spacetime_coords(cfg.has_time_planes, pts, times)
+    features, perm, inv = canonical_sorted_features(
+        pts,
+        params["grids"],
+        concat_features=cfg.concat_features_across_scales,
+        freeze_time_planes=cfg.freeze_time_planes,
+        freeze_space_planes=cfg.freeze_space_planes,
+    )
+
+    if cfg.linear_decoder:
+        density_before = mlp_apply(
+            params["sigma_net"], features, activation="none",
+            output_activation="none",
+        )[..., 0]
+        color_in = features
+    else:
+        out = mlp_apply(
+            params["sigma_net"], features, activation="relu",
+            output_activation="none",
+        )
+        color_in, density_before = out[..., : cfg.geo_feat_dim], out[..., -1]
+
+    # per-sample side inputs follow the features into canonical order; the
+    # sorted path guarantees they carry no gradient (camera optimizer off)
+    need_dirs = cfg.linear_decoder or not cfg.disable_viewing_dependent
+    dirs_c = (
+        permute_rows(directions, perm, inv) if need_dirs else directions
+    )
+    cam_c = (
+        jnp.take(camera_indices, perm, axis=0, mode="clip")
+        if (camera_indices is not None and cfg.use_appearance_embedding)
+        else None
+    )
+
+    if cfg.linear_decoder or cfg.disable_viewing_dependent:
+        color_features = [color_in]
+    else:
+        color_features = [
+            components_from_spherical_harmonics(cfg.sh_degree, dirs_c),
+            color_in,
+        ]
+    dirs_input = dirs_c
+    if cfg.use_appearance_embedding:
+        emb = params["appearance_embedding"]
+        if train:
+            assert cam_c is not None
+            embedded = jnp.take(emb, cam_c, axis=0)
+        else:
+            embedded = jnp.broadcast_to(
+                jnp.mean(emb, axis=0), (positions.shape[0], emb.shape[-1])
+            )
+        if cfg.linear_decoder:
+            dirs_input = jnp.concatenate([dirs_input, embedded], axis=-1)
+        else:
+            color_features.append(embedded)
+    color_features = jnp.concatenate(color_features, axis=-1)
+
+    if cfg.linear_decoder:
+        basis = mlp_apply(
+            params["color_basis"], dirs_input, activation="relu",
+            output_activation="none",
+        )
+        basis = basis.reshape(*color_features.shape[:-1], 3, cfg.feature_dim)
+        rgb_pre = jnp.sum(color_features[..., None, :] * basis, axis=-1)
+    else:
+        rgb_pre = mlp_apply(
+            params["color_net"], color_features, activation="relu",
+            output_activation="none",
+        )
+
+    out_c = jnp.concatenate([density_before[:, None], rgb_pre], axis=-1)
+    out_ray = permute_rows(out_c, inv, perm)                 # [M, 4]
+    return trunc_exp(out_ray[:, 0]), jax.nn.sigmoid(out_ray[:, 1:])
 
 
 # ---------------------------------------------------------------------------

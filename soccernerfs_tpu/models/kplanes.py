@@ -23,9 +23,8 @@ from soccernerfs_tpu.fields.kplanes import (
     KPlanesFieldConfig,
     init_kplanes_density_field,
     init_kplanes_field,
-    kplanes_density,
     kplanes_density_field_density,
-    kplanes_rgb,
+    kplanes_field_forward,
 )
 from soccernerfs_tpu.ops import losses as L
 from soccernerfs_tpu.ops.rendering import (
@@ -367,9 +366,6 @@ def get_outputs(
         if (ray_samples.times is not None and cfg.has_time)
         else None
     )
-    density, features = kplanes_density(
-        field_cfg, params["fields"], aabb, positions.reshape(-1, 3), flat_times
-    )
     flat_dirs = jnp.broadcast_to(
         ray_samples.directions[:, None, :], (n, s, 3)
     ).reshape(-1, 3)
@@ -378,9 +374,17 @@ def get_outputs(
         if ray_samples.camera_indices is not None
         else None
     )
-    rgb_samples = kplanes_rgb(
-        field_cfg, params["fields"], features, flat_dirs, flat_cam, train=train
-    ).reshape(n, s, 3)
+    density, rgb_samples = kplanes_field_forward(
+        field_cfg,
+        params["fields"],
+        aabb,
+        positions.reshape(-1, 3),
+        flat_dirs,
+        flat_times,
+        flat_cam,
+        train=train,
+    )
+    rgb_samples = rgb_samples.reshape(n, s, 3)
     density = density.reshape(n, s)
 
     weights = ray_samples.get_weights(density)

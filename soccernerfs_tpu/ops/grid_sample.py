@@ -54,10 +54,12 @@ def sample_plane_bilinear(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarra
     idx10 = y1i * W + x0i
     idx11 = y1i * W + x1i
 
-    p00 = jnp.take(flat, idx00, axis=0)
-    p01 = jnp.take(flat, idx01, axis=0)
-    p10 = jnp.take(flat, idx10, axis=0)
-    p11 = jnp.take(flat, idx11, axis=0)
+    # indices are clamped in-bounds above: skip jnp.take's default
+    # out-of-range fill (a select over every gathered row block)
+    p00 = jnp.take(flat, idx00, axis=0, mode="clip")
+    p01 = jnp.take(flat, idx01, axis=0, mode="clip")
+    p10 = jnp.take(flat, idx10, axis=0, mode="clip")
+    p11 = jnp.take(flat, idx11, axis=0, mode="clip")
 
     tx = tx[..., None]
     ty = ty[..., None]
@@ -113,7 +115,8 @@ def sample_plane_bilinear_packed(
         packed = packed.astype(gather_dtype)
     # rows stay in gather_dtype: bf16 x f32 weights promote to f32 in the
     # lerp without materializing an f32 [M, 4F] copy of the gather output
-    rows = jnp.take(packed, y0i * W + x0i, axis=0)  # [..., 4F]
+    rows = jnp.take(packed, y0i * W + x0i, axis=0,
+                    mode="clip")  # [..., 4F]
     p00, p01, p10, p11 = (
         rows[..., :F],
         rows[..., F : 2 * F],
@@ -151,15 +154,15 @@ def permute_rows(x: jnp.ndarray, inv: jnp.ndarray, perm: jnp.ndarray) -> jnp.nda
 
     @jax.custom_vjp
     def op(x, inv, perm):
-        return jnp.take(x, inv, axis=0)
+        return jnp.take(x, inv, axis=0, mode="clip")
 
     def op_fwd(x, inv, perm):
-        return jnp.take(x, inv, axis=0), (inv, perm)
+        return jnp.take(x, inv, axis=0, mode="clip"), (inv, perm)
 
     def op_bwd(res, g):
         inv_, perm_ = res
         zero = np.zeros(inv_.shape, dtype=jax.dtypes.float0)
-        return jnp.take(g, perm_, axis=0), zero, zero
+        return jnp.take(g, perm_, axis=0, mode="clip"), zero, zero
 
     op.defvjp(op_fwd, op_bwd)
     return op(x, inv, perm)
@@ -168,7 +171,8 @@ def permute_rows(x: jnp.ndarray, inv: jnp.ndarray, perm: jnp.ndarray) -> jnp.nda
 def _bilerp_rows(p, rowid, tx, ty, feat):
     # keep the gathered rows bf16 (halves the dominant [M, 4F] stream);
     # bf16 x f32 promotes, so the lerp still accumulates in f32
-    rows = jnp.take(p.astype(jnp.bfloat16), rowid, axis=0)
+    rows = jnp.take(p.astype(jnp.bfloat16), rowid, axis=0,
+                    mode="clip")
     p00 = rows[:, :feat]
     p01 = rows[:, feat : 2 * feat]
     p10 = rows[:, 2 * feat : 3 * feat]
@@ -223,12 +227,12 @@ def plane_sample_sorted_group(
 
     from soccernerfs_tpu.ops.pallas import plane_kernels as pk
 
-    # stripe height: ~the row-span of one 512-point super-chunk (so a
-    # super-chunk rarely straddles stripes), at least one plane row, at
-    # most 2048 (the one-hot matmul pays tr*128 MACs per point)
+    # stripe height: ~the row-span of one super-chunk (so a super-chunk
+    # rarely straddles stripes), at least one plane row, at most 2048
+    # (the one-hot matmul pays tr*128 MACs per point)
     m = rowids[0].shape[0]
     planes = len(packeds)
-    span = max(1, (r * 512) // max(m, 1))
+    span = max(1, (r * pk.SC) // max(m, 1))
     tr = w * max(1, min(-(-span // w), max(1, 2048 // w), -(-r // w)))
     # grad blocks are (P, tr*group, 128) f32, double-buffered: keep in VMEM
     group = max(1, min(4096 // (tr * planes), -(-r // tr)))
@@ -328,7 +332,7 @@ def plane_sample_group_bwdsort(
     g_pack = 128 // lanes
     w4 = max(1, w // g_pack)
     r4 = r // g_pack
-    span = max(1, (r4 * 512) // max(m, 1))
+    span = max(1, (r4 * pk.SC) // max(m, 1))
     tr = w4 * max(1, min(-(-span // w4), max(1, 2048 // w4), -(-r4 // w4)))
     group = max(1, min(4096 // (tr * planes), -(-r4 // tr)))
 
@@ -345,6 +349,9 @@ def plane_sample_group_bwdsort(
     def op_bwd(res, gs):
         rowids_, txs_, ty_, ykey_ = res
         iota = jnp.arange(m, dtype=jnp.int32)
+        # the point payload rides SORT OPERANDS: extra operands cost
+        # ~1.3 ns/element while a narrow [M, k<=128] row gather pays the
+        # full per-row price (rows are lane-tile-padded)
         sorted_ops = jax.lax.sort(
             (ykey_, *rowids_, *txs_, ty_, iota), num_keys=1
         )
@@ -354,8 +361,8 @@ def plane_sample_group_bwdsort(
         perm = sorted_ops[-1]
         g_cat = jnp.take(
             jnp.concatenate([g.astype(jnp.bfloat16) for g in gs], axis=-1),
-            perm, axis=0,
-        ).astype(jnp.float32)
+            perm, axis=0, mode="clip",
+        )
         gs_sorted = [
             g_cat[:, p * feat : (p + 1) * feat] for p in range(planes)
         ]

@@ -205,3 +205,44 @@ def test_fwd_group_kernel_exact():
         np.testing.assert_allclose(
             np.asarray(out) / scale, np.asarray(ref) / scale, atol=1e-2
         )
+
+
+@pytest.mark.parametrize("linear_decoder", [False, True])
+def test_field_forward_fused_matches_separate(monkeypatch, linear_decoder):
+    """kplanes_field_forward's canonical-order pipeline (MLPs in sorted
+    order, one [M, 4] permute back) == kplanes_density + kplanes_rgb."""
+    monkeypatch.setattr(kpf, "_use_sorted_sampler", lambda grids: True)
+    rng = np.random.default_rng(11)
+    m = 257
+    cfg = kpf.KPlanesFieldConfig(
+        spacetime_resolution=(8, 8, 8, 5),
+        feat_dim=32,
+        multiscale_res=(1, 2),
+        concat_features_across_scales=True,
+        linear_decoder=linear_decoder,
+        disable_viewing_dependent=False,
+        sigma_net_hidden_dim=32,
+        rgb_net_hidden_dim=32,
+    )
+    params = kpf.init_kplanes_field(jax.random.PRNGKey(4), cfg)
+    aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    positions = jnp.asarray(rng.uniform(-1, 1, (m, 3)).astype(np.float32))
+    dirs = rng.standard_normal((m, 3)).astype(np.float32)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
+    times = jnp.asarray(rng.uniform(0, 1, (m,)).astype(np.float32))
+
+    density_f, rgb_f = kpf.kplanes_field_forward(
+        cfg, params, aabb, positions, dirs, times, None, train=True
+    )
+
+    monkeypatch.setattr(kpf, "_use_sorted_sampler", lambda grids: False)
+    density_r, features_r = kpf.kplanes_density(cfg, params, aabb, positions, times)
+    rgb_r = kpf.kplanes_rgb(cfg, params, features_r, dirs, None, train=True)
+
+    # both paths round features to bf16 somewhere (packed gather vs sorted
+    # permute): compare at bf16 resolution
+    sd = np.abs(np.asarray(density_r)).max()
+    np.testing.assert_allclose(
+        np.asarray(density_f) / sd, np.asarray(density_r) / sd, atol=2e-2
+    )
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_r), atol=2e-2)
