@@ -100,15 +100,17 @@ method_configs["k-planes"] = TrainerConfig(
             is_euclidean_depth=False,
         ),
     ),
+    # moment_dtype only changes Adam-moment STORAGE (compute stays f32);
+    # convergence-checked vs f32 moments: 22.06 vs 22.05 dB (PERF.md)
     optimizers={
         "proposal_networks": {
-            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-12),
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-12, moment_dtype="bfloat16"),
             "scheduler": CosineDecaySchedulerConfig(
                 warm_up_end=512, max_steps=30000, learning_rate_alpha=0
             ),
         },
         "fields": {
-            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-12),
+            "optimizer": AdamOptimizerConfig(lr=1e-2, eps=1e-12, moment_dtype="bfloat16"),
             "scheduler": CosineDecaySchedulerConfig(
                 warm_up_end=512, max_steps=30000, learning_rate_alpha=0
             ),
@@ -170,13 +172,13 @@ method_configs["k-planes-static"] = TrainerConfig(
     ),
     optimizers={
         "proposal_networks": {
-            "optimizer": AdamOptimizerConfig(lr=0.01, eps=1e-8),
+            "optimizer": AdamOptimizerConfig(lr=0.01, eps=1e-8, moment_dtype="bfloat16"),
             "scheduler": CosineDecaySchedulerConfig(
                 warm_up_end=512, max_steps=20000, learning_rate_alpha=0
             ),
         },
         "fields": {
-            "optimizer": AdamOptimizerConfig(lr=0.01, eps=1e-8),
+            "optimizer": AdamOptimizerConfig(lr=0.01, eps=1e-8, moment_dtype="bfloat16"),
             "scheduler": CosineDecaySchedulerConfig(
                 warm_up_end=512, max_steps=20000, learning_rate_alpha=0
             ),

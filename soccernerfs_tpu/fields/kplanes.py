@@ -39,9 +39,8 @@ from soccernerfs_tpu.core.scene_box import SceneBox
 from soccernerfs_tpu.ops.grid_sample import (
     grid_coords,
     permute_rows,
-    plane_sample_sorted,
+    plane_sample_fold_group,
     plane_sample_group_bwdsort,
-    plane_sample_sorted_group,
     quad_pack,
     sample_plane_bilinear,
     sample_plane_bilinear_packed,
@@ -200,9 +199,8 @@ def canonical_sorted_features(
         # group's [M, S*F] partial product pays the alignment gather
         partial = [1.0] * n_scales
         for s, grids in enumerate(ms_grids):
-            packeds, rowids, txs = [], [], []
+            sel_grids, rowids, txs = [], [], []
             tyf = None
-            w = None
             for ci, c1 in members:
                 is_time_plane = has_time and 3 in (c1, c2)
                 grid = grids[ci]
@@ -211,12 +209,14 @@ def canonical_sorted_features(
                 h, w, _f = grid.shape
                 xc, txf = grid_coords(s_pts[c1], w)
                 yc, tyf = grid_coords(s_pts[c2], h)
-                packeds.append(quad_pack(grid))
+                sel_grids.append(grid)
                 rowids.append(yc * w + xc)
                 txs.append(txf)
-            # one group kernel per scale: members share shape + stripe axis
-            feats = plane_sample_sorted_group(
-                packeds, rowids, txs, tyf, w=w, use_pallas_bwd=True
+            # one group kernel per scale: members share shape + stripe
+            # axis; the custom-VJP boundary sits at the [H, W, F] grids
+            # (bf16 pack forward, folded unpacked-gradient scatter back)
+            feats = plane_sample_fold_group(
+                sel_grids, rowids, txs, tyf, use_pallas_bwd=True
             )
             for fo in feats:
                 partial[s] = partial[s] * fo

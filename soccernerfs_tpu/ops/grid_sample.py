@@ -273,6 +273,83 @@ def plane_sample_sorted_group(
     return op(list(packeds), list(rowids), list(txs), ty)
 
 
+def plane_sample_fold_group(
+    grids,
+    rowids,
+    txs,
+    ty: jnp.ndarray,
+    *,
+    use_pallas_bwd: bool,
+    interpret: bool | None = None,
+):
+    """Bilinear sample of P same-shaped UNPACKED planes sharing one stripe
+    axis, at stripe-sorted row ids — the custom-VJP boundary sits at the
+    [H, W, F] grid itself.
+
+    Forward quad-packs each grid straight to bf16 (one fused pass; the f32
+    packed table is never materialized) and samples via one bf16 gather +
+    lerp (XLA) or the fused Pallas gather for big tables.  Backward uses
+    the FOLDED Pallas scatter (ops/pallas/plane_kernels.bilerp_bwd_group_fold)
+    which emits unpacked [H*W, F] gradients directly — no packed fp32
+    gradient (4x the table) and no XLA quad_pack transpose.
+
+    Args / returns: as plane_sample_sorted_group, but ``grids`` are
+    [H, W, F] (not packed) and gradients flow to the grids.
+    """
+    h, w, feat = grids[0].shape
+    r = h * w
+    if interpret is None:
+        interpret = PALLAS_INTERPRET
+
+    if not use_pallas_bwd or FORCE_XLA_BWD:
+        return [
+            _bilerp_rows(quad_pack(g), rowid, tx, ty, feat)
+            for g, rowid, tx in zip(grids, rowids, txs)
+        ]
+
+    from soccernerfs_tpu.ops.pallas import plane_kernels as pk
+
+    m = rowids[0].shape[0]
+    planes = len(grids)
+    span = max(1, (r * pk.SC) // max(m, 1))
+    tr = w * max(1, min(-(-span // w), max(1, 2048 // w), -(-r // w)))
+    group = max(1, min(4096 // (tr * planes), -(-r // tr)))
+    fwd_kernel = r >= 65536
+
+    @jax.custom_vjp
+    def op(grids, rowids, txs, ty):
+        packeds = [quad_pack(g).astype(jnp.bfloat16) for g in grids]
+        if fwd_kernel:
+            return pk.packed_bilerp_fwd_group(
+                packeds, rowids, txs, ty, tr=tr, group=group,
+                interpret=interpret,
+            )
+        return [
+            _bilerp_rows(p, rowid, tx, ty, feat)
+            for p, rowid, tx in zip(packeds, rowids, txs)
+        ]
+
+    def op_fwd(grids, rowids, txs, ty):
+        return op(grids, rowids, txs, ty), (rowids, txs, ty)
+
+    def op_bwd(res, gs):
+        rowids_, txs_, ty_ = res
+        grads = pk.bilerp_bwd_group_fold(
+            gs, rowids_, txs_, ty_, h=h, w=w, tr=tr, group=group,
+            interpret=interpret,
+        )
+        zero_i = [np.zeros(ri.shape, dtype=jax.dtypes.float0) for ri in rowids_]
+        return (
+            [g.reshape(h, w, feat).astype(grids[0].dtype) for g in grads],
+            zero_i,
+            [jnp.zeros_like(t) for t in txs_],
+            jnp.zeros_like(ty_),
+        )
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(list(grids), list(rowids), list(txs), ty)
+
+
 def plane_sample_sorted(
     packed_f32: jnp.ndarray,
     rowid: jnp.ndarray,

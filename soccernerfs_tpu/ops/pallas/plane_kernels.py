@@ -276,6 +276,184 @@ def _bwd_kernel(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int,
         jax.lax.fori_loop(0, n, body, 0)
 
 
+def _bwd_kernel_fold(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int,
+                     h: int, w: int, spill_pad: int):
+    """Like _bwd_kernel (feat == FEAT, no row-packing) but the packed
+    quadrant gradients are FOLDED into unpacked [*, FEAT] plane-grad rows
+    before leaving VMEM, so the kernel emits 4x fewer gradient bytes and
+    the XLA-side quad_pack transpose disappears.
+
+    quad_pack stores row r=(y,x) as [P(y,x), P(y,xp), P(yp,x), P(yp,xp)]
+    with xp=min(x+1,W-1), yp=min(y+1,H-1) (border replication).  The
+    transpose, per destination row (a,b) with c0=(b==0), cw=(b==W-1),
+    rh=(a==H-1), in flat row space (row = a*W + b):
+
+      dP[row] = q0[row]
+              + q1[row-1]*!c0 + q1[row]*cw
+              + q2[row-W]     + q2[row]*rh
+              + q3[row-W-1]*!c0 + q3[row-W]*cw + q3[row-1]*(rh&!c0)
+              + q3[row]*(rh&cw)
+
+    Rows are accumulated per grid step in a VMEM scratch; shifts that
+    reach back past the block start are contributions OF THE PREVIOUS
+    blocks, carried forward in a persistent [spill_pad, FEAT] scratch
+    (grid steps run sequentially): block b adds the carry onto its first
+    rows, then overwrites it with its own halo for block b+1.
+    """
+    out_main = refs[:planes]               # (tr*group, FEAT) blocks
+    s_mg, s_acc, s_carry, sems = refs[planes:]
+    b = pl.program_id(0)
+    nbuf = s_mg.shape[0]
+    p_meta = 8 * planes + SUB
+    tg = tr * group
+    feat = FEAT
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    lane_o = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    tilers = [
+        (lane_i - j * feat == lane_o % feat).astype(jnp.bfloat16)
+        for j in range(SUB)
+    ]
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    x_hi = (lane1 // feat) % 2 == 1
+    y_hi = lane1 // (2 * feat) == 1
+
+    def mg_cp(sc_row, slot):
+        return pltpu.make_async_copy(mg_ref.at[sc_row], s_mg.at[slot],
+                                     sems.at[slot])
+
+    for p in range(planes):
+        s_acc[p] = jnp.zeros((tg, LANES), jnp.float32)
+
+    @pl.when(b == 0)
+    def _():
+        for p in range(planes):
+            s_carry[p] = jnp.zeros(s_carry.shape[1:], jnp.float32)
+
+    for g in range(group):
+        t = b * group + g
+        start = ts_ref[t]
+        end = ts_ref[t + 1]
+        r0 = start // SC
+        n = jnp.maximum((end + SC - 1) // SC - r0, 0)
+        base = t * tr
+
+        for q in range(nbuf - 1):
+            @pl.when(q < n)
+            def _():
+                mg_cp(r0 + q, q).start()
+
+        def body(k, _):
+            slot = jax.lax.rem(k, nbuf)
+
+            @pl.when(k + nbuf - 1 < n)
+            def _():
+                mg_cp(r0 + k + nbuf - 1,
+                      jax.lax.rem(k + nbuf - 1, nbuf)).start()
+
+            mg_cp(r0 + k, slot).wait()
+            blk = s_mg[slot]
+            for p in range(planes):
+                g_blk = blk[p_meta + p * CHUNK:p_meta + (p + 1) * CHUNK]
+                g_blk = g_blk.astype(jnp.bfloat16)            # [CHUNK, LANES]
+                ohs, gws = [], []
+                for j in range(SUB):
+                    idx = blk[SUB * p + j].astype(jnp.int32)[:, None]
+                    d2 = idx - base
+                    ohs.append((d2 == jax.lax.broadcasted_iota(
+                        jnp.int32, (CHUNK, tr), 1)).astype(jnp.bfloat16))
+                    tx = blk[SUB * (planes + p) + j][:, None]
+                    ty = blk[8 * planes + j][:, None]
+                    g_tile = jnp.dot(g_blk, tilers[j],
+                                     preferred_element_type=jnp.float32)
+                    wx = jnp.where(x_hi, tx, 1.0 - tx)
+                    wy = jnp.where(y_hi, ty, 1.0 - ty)
+                    gws.append((wx * wy * g_tile).astype(jnp.bfloat16))
+                oh = jnp.concatenate(ohs, axis=0)             # [SC, tr]
+                gw = jnp.concatenate(gws, axis=0)             # [SC, LANES]
+                s_acc[p, g * tr:(g + 1) * tr] += jax.lax.dot_general(
+                    oh, gw,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+    # fold quadrants -> unpacked plane-grad rows (+ spill halo).  The fold
+    # runs in 128-LANE space — four shifted copies of the packed
+    # accumulator, each lane/row masked per the transpose expression, then
+    # ONE (l % FEAT) fold matmul — and is CHUNKED in dest-row windows:
+    # quadrant-extracted [*, 32] temps lane-pad to 128 in VMEM and a
+    # whole-block fold blows the 16 MB scoped-VMEM limit at tg=2048.
+    halo = w + 1
+    fc_main = min(512, tg)
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) // feat
+    efold = (
+        jax.lax.broadcasted_iota(jnp.int32, (LANES, FEAT), 0) % feat
+        == jax.lax.broadcasted_iota(jnp.int32, (LANES, FEAT), 1)
+    ).astype(jnp.float32)
+
+    def lmask(q):
+        return (lane_q == q).astype(jnp.float32)          # [1, LANES]
+
+    def fold_window(acc, s0, fc):
+        """dP rows [s0, s0+fc) of this block from the packed accumulator."""
+        gi = jax.lax.broadcasted_iota(jnp.int32, (fc, 1), 0) + b * tg + s0
+        col = jax.lax.rem(gi, w)
+        nc0 = jnp.where(col == 0, 0.0, 1.0)               # [fc, 1]
+        cwm = jnp.where(col == w - 1, 1.0, 0.0)
+        rh = jnp.where(gi >= (h - 1) * w, 1.0, 0.0)
+        # source rows [s0-halo, s0+fc), zero-padded outside [0, tg)
+        parts = []
+        lo = s0 - halo
+        if lo < 0:
+            parts.append(jnp.zeros((-lo, LANES), jnp.float32))
+            lo = 0
+        hi = min(s0 + fc, tg)
+        if hi > lo:
+            parts.append(acc[lo:hi])
+        if s0 + fc > tg:
+            parts.append(jnp.zeros((s0 + fc - tg, LANES), jnp.float32))
+        src = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+        def sh(sft):  # dest-local: out[i] = src_at_row(s0 + i - sft)
+            return src[halo - sft:halo - sft + fc]
+
+        # per-shift masks: rows select by dest column/row, lanes by quadrant
+        m0 = lmask(0) + cwm * lmask(1) + rh * lmask(2) + rh * cwm * lmask(3)
+        m1 = nc0 * (lmask(1) + rh * lmask(3))
+        mw = lmask(2) + cwm * lmask(3)
+        mw1 = nc0 * lmask(3)
+        outv = sh(0) * m0 + sh(1) * m1 + sh(w) * mw + sh(w + 1) * mw1
+        return jnp.dot(outv, efold, preferred_element_type=jnp.float32)
+
+    for p in range(planes):
+        acc = s_acc[p]
+        for s0 in range(0, tg, fc_main):
+            fc = min(fc_main, tg - s0)
+            outv = fold_window(acc, s0, fc)
+            if s0 < spill_pad:
+                # earlier blocks' halo contributions to these rows
+                ce = min(spill_pad, s0 + fc)
+                cpart = s_carry[p, s0:ce]
+                if ce - s0 < fc:
+                    cpart = jnp.concatenate(
+                        [cpart, jnp.zeros((fc - (ce - s0), feat),
+                                          jnp.float32)], axis=0)
+                outv = outv + cpart
+            out_main[p][s0:s0 + fc] = outv
+        # this block's halo (dest rows [tg, tg+spill_pad)); any carry rows
+        # past tg haven't landed yet and roll forward another block
+        sb = fold_window(acc, tg, spill_pad)
+        if spill_pad > tg:
+            sb = sb + jnp.concatenate(
+                [s_carry[p, tg:],
+                 jnp.zeros((tg, feat), jnp.float32)], axis=0
+            )
+        s_carry[p] = sb
+
+
 def _pad_rows(x, mult):
     pad = (-x.shape[0]) % mult
     if pad:
@@ -517,3 +695,79 @@ def packed_bilerp_bwd(g_sorted, idx_sorted, tx, ty, *, r: int, tr: int = 1024,
         [g_sorted], [idx_sorted], [tx], ty, r=r, tr=tr, group=group,
         interpret=interpret,
     )[0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "tr", "group", "interpret"))
+def bilerp_bwd_group_fold(gs, rowids, txs, ty, *, h: int, w: int,
+                          tr: int = 1024, group: int = 8,
+                          interpret: bool = False):
+    """Gradients w.r.t. P UNPACKED [h*w, FEAT] plane tables (one sort
+    group, feat == FEAT == 32).
+
+    Same stripe scatter as packed_bilerp_bwd_group, but the quadrant fold
+    (the transpose of ops/grid_sample.quad_pack) runs inside the kernel on
+    the VMEM accumulator, so the packed [R, 4F] fp32 gradient (4x the
+    table) is never materialized in HBM.  Cross-block fold halos ride a
+    persistent carry scratch between (sequential) grid steps — nothing to
+    fix up on the XLA side.
+
+    Args:
+        gs: P upstream gradients [M, FEAT], in the shared sorted order.
+        rowids: P row-id arrays [M] (row = y0*w + x0, nondecreasing in
+            stripes of ``tr``).
+        txs: P x-fraction arrays [M]; ty: shared y fraction [M].
+        h, w: plane height/width (r == h*w rows).
+    Returns:
+        list of P fp32 [h*w, FEAT] unpacked table gradients.
+    """
+    planes = len(gs)
+    feat = gs[0].shape[-1]
+    assert feat == FEAT, f"fold kernel needs feat=={FEAT}, got {feat}"
+    r = h * w
+    r_pad, grid = _grid_shape(r, tr, group)
+    tg = tr * group
+    spill_pad = w + 1 + (-(w + 1)) % 8
+    m = rowids[0].shape[0]
+    pad = (-m) % SC + SC
+    parts = (
+        [_rows(idx, float(r_pad + 1), pad) for idx in rowids]
+        + [_rows(tx, 0.0, pad) for tx in txs]
+        + [_rows(ty, 0.0, pad)]
+    )
+    s_rows = parts[0].shape[0]
+    g_blocks = [pack_features(g.astype(jnp.float32), s_rows) for g in gs]
+    mg = jnp.concatenate(parts + g_blocks, axis=1)  # [S, 8P+4+128P, CHUNK]
+    ts = tile_starts(rowids[0], r_pad, tr)
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_fold, tr=tr, group=group,
+                          planes=planes, h=h, w=w, spill_pad=spill_pad),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),            # meta+g blocks
+            ],
+            out_specs=tuple(
+                pl.BlockSpec((tg, FEAT), lambda b, ts: (b, 0))
+                for _ in range(planes)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((BWD_NBUF, 8 * planes + SUB + planes * CHUNK,
+                            CHUNK), jnp.float32),
+                pltpu.VMEM((planes, tg, LANES), jnp.float32),
+                pltpu.VMEM((planes, spill_pad, FEAT), jnp.float32),
+                pltpu.SemaphoreType.DMA((BWD_NBUF,)),
+            ],
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((r_pad, FEAT), jnp.float32)
+            for _ in range(planes)
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(ts, mg)
+    if planes == 1:
+        outs = (outs,) if not isinstance(outs, (tuple, list)) else outs
+    return [o[:r] for o in outs]

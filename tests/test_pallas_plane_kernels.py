@@ -71,6 +71,58 @@ def test_bwd_kernel_matches_scatter():
     )
 
 
+@pytest.mark.parametrize(
+    "h,w,m,planes,tr,group",
+    [
+        (12, 16, 613, 2, 32, 3),     # multi-block: spill rows cross blocks
+        (7, 8, 99, 1, 8, 2),         # tiny stripes, heavy borders
+        (20, 24, 900, 3, 48, 2),     # 3-plane group
+        (6, 16, 333, 1, 16, 1),      # tg < w+1: spill spans TWO blocks
+    ],
+)
+def test_bwd_fold_kernel_matches_quadpack_transpose(h, w, m, planes, tr, group):
+    """bilerp_bwd_group_fold == XLA scatter-add through quad_pack's
+    transpose (i.e. gradients w.r.t. the UNPACKED [H, W, F] grid)."""
+    rng = np.random.default_rng(21)
+    r = h * w
+    grids = [jnp.asarray(rng.standard_normal((h, w, 32), dtype=np.float32))
+             for _ in range(planes)]
+    # corner cells included: y0 in [0, h-2] but x/y fractions up to 1
+    y = np.sort(rng.uniform(0, 1, m).astype(np.float32))
+    yc = np.minimum((y * (h - 1)).astype(np.int32), h - 2)
+    rowids, txs, gups = [], [], []
+    for _ in range(planes):
+        x = rng.uniform(0, 1, m).astype(np.float32)
+        xc = np.minimum((x * (w - 1)).astype(np.int32), w - 2)
+        rowids.append(jnp.asarray(yc * w + xc))
+        txs.append(jnp.asarray(rng.uniform(0, 1, m).astype(np.float32)))
+        gups.append(jnp.asarray(rng.standard_normal((m, 32), dtype=np.float32)))
+    ty = jnp.asarray(rng.uniform(0, 1, m).astype(np.float32))
+
+    got = pk.bilerp_bwd_group_fold(
+        gups, rowids, txs, ty, h=h, w=w, tr=tr, group=group, interpret=True
+    )
+
+    for p in range(planes):
+        gw = jnp.concatenate(
+            [
+                gups[p] * ((1 - txs[p]) * (1 - ty))[:, None],
+                gups[p] * (txs[p] * (1 - ty))[:, None],
+                gups[p] * ((1 - txs[p]) * ty)[:, None],
+                gups[p] * (txs[p] * ty)[:, None],
+            ],
+            axis=1,
+        ).astype(jnp.bfloat16).astype(jnp.float32)
+        packed_grad = jnp.zeros((r, 128), jnp.float32).at[rowids[p]].add(gw)
+        _, vjp = jax.vjp(gs.quad_pack, grids[p])
+        (ref,) = vjp(packed_grad)
+        s = np.abs(np.asarray(ref)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(got[p]).reshape(h, w, 32) / s, np.asarray(ref) / s,
+            atol=1e-2,
+        )
+
+
 @pytest.mark.parametrize("dim", [3, 4])
 def test_sorted_interpolation_matches_reference(dim):
     """interpolate_kplanes_sorted == reference path (values AND grads)."""
