@@ -64,7 +64,14 @@ def main():
         times=np.linspace(0, 1, n_cams).astype(np.float32),
     )
 
-    optimizer = optax.adam(1e-2, eps=1e-12)
+    # the method-of-record optimizer (configs/method_configs.py "k-planes"):
+    # Adam eps=1e-12 with bf16 moment STORAGE (f32 compute; quality parity
+    # verified in PERF.md)
+    from soccernerfs_tpu.engine.optimizers import scale_by_adam_lowp
+
+    optimizer = optax.chain(
+        scale_by_adam_lowp(eps=1e-12), optax.scale(-1e-2)
+    )
     aux = kplanes.init_aux(cfg)
     state = {
         "params": params,
@@ -149,6 +156,78 @@ def main():
             }
         )
     )
+
+
+def render_main() -> None:
+    """Eval-render throughput: full-frame chunked rendering of the bench
+    workload's model, reported in megapixels/sec and test rays/sec
+    (the reference's TEST_RAYS_PER_SEC / eval fps metrics,
+    ref: utils/writer.py:52, pipelines/base_pipeline.py:343-352)."""
+    from soccernerfs_tpu.core.cameras import Cameras, generate_rays
+    from soccernerfs_tpu.models import kplanes
+
+    cfg = kplanes.Config(
+        spacetime_resolution=(64, 64, 64, 100),
+        feature_dim=32,
+        multiscale_res=(1, 2, 4, 8, 16),
+        proposal_net_args_list=(
+            {"feature_dim": 8, "resolution": (128, 128, 128, 100)},
+            {"feature_dim": 8, "resolution": (256, 256, 256, 100)},
+        ),
+        num_proposal_samples_per_ray=(256, 128),
+        num_nerf_samples_per_ray=64,
+        sigma_net_hidden_dim=128,
+        disable_viewing_dependent=True,
+    )
+    params = kplanes.init(jax.random.PRNGKey(0), cfg, num_train_data=20)
+    aabb = jnp.asarray([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+    h, w = 540, 960
+    cameras = Cameras.create(
+        camera_to_worlds=np.eye(3, 4, dtype=np.float32)[None]
+        + np.zeros((1, 3, 4), np.float32),
+        fx=800.0, fy=800.0, cx=w / 2, cy=h / 2, width=w, height=h,
+        times=np.zeros((1,), np.float32),
+    )
+    chunk = 1 << 16
+    coords_all = np.stack(
+        np.meshgrid(np.arange(h, dtype=np.float32),
+                    np.arange(w, dtype=np.float32), indexing="ij"), -1
+    ).reshape(-1, 2)
+    n_pix = coords_all.shape[0]
+    n_chunks = -(-n_pix // chunk)
+    pad = n_chunks * chunk - n_pix
+    coords_all = np.concatenate([coords_all, coords_all[:pad]], 0)
+
+    @jax.jit
+    def render_chunk(params, coords):
+        # params as an ARGUMENT: closed-over arrays become baked program
+        # constants and the 620 MB param tree blows the compile request
+        rays = generate_rays(
+            cameras, jnp.zeros((coords.shape[0],), jnp.int32), coords
+        )
+        out = kplanes.get_outputs(
+            cfg, params, aabb, rays, rng=jax.random.PRNGKey(0), train=False
+        )
+        return out["rgb"]
+
+    chunks = [jnp.asarray(coords_all[i * chunk:(i + 1) * chunk])
+              for i in range(n_chunks)]
+    jax.block_until_ready(render_chunk(params, chunks[0]))  # compile
+    n_frames = 3
+    t0 = time.time()
+    outs = []
+    for _ in range(n_frames):
+        outs = [render_chunk(params, c) for c in chunks]
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+    pix_per_sec = n_pix * n_frames / dt
+    print(json.dumps({
+        "metric": "kplanes_render_megapixels_per_sec",
+        "value": round(pix_per_sec / 1e6, 3),
+        "unit": "MP/s",
+        "test_rays_per_sec": round(pix_per_sec, 1),
+        "fps_960x540": round(pix_per_sec / n_pix, 3),
+    }))
 
 
 def scaling_child(n_devices: int) -> None:
@@ -252,5 +331,7 @@ def scaling_main() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling_main()
+    elif "--render" in sys.argv:
+        render_main()
     else:
         main()

@@ -3,19 +3,32 @@
 Re-design of the reference viewer stack (ZMQ bridge subprocess +
 WebSocket + React/Three.js app, ref: viewer/server/server.py:89,
 viewer/server/viewer_utils.py:242, viewer/app/).  The TPU build ships a
-dependency-free stdlib HTTP server with an embedded orbit-control client:
+dependency-free stdlib HTTP server with an embedded client covering the
+reference app's CameraPanel / RenderModal / output-selector surface:
 
-  GET  /            the viewer page (vanilla JS, pointer-drag orbit,
-                    time slider for dynamic scenes, keyframe authoring)
-  GET  /scene       scene metadata (camera poses, image size, has_time)
-  POST /render      {"c2w": [[..]x3], "fov": deg, "width": W,
-                    "height": H, "time": t} -> PNG bytes
-  POST /keyframe    {"c2w", "fov", "time"?} -> appended keyframe count
+  GET  /              the viewer page (vanilla JS: pointer-drag orbit,
+                      fov + time sliders, output-channel selector,
+                      keyframe panel with jump/delete, path preview,
+                      render-path job control)
+  GET  /scene         scene metadata (num cameras, has_time, aabb)
+  GET  /keyframes     current keyframe list
+  POST /render        {"c2w": [[..]x3], "fov": deg, "width", "height",
+                      "time"?, "output"?: rgb|depth|accumulation} -> PNG
+  POST /keyframe      {"c2w", "fov", "time"?} -> appended count
+  POST /remove_keyframe {"index"} -> remaining count
   POST /clear_keyframes
-  POST /export_path {"width", "height", "steps_per_transition", "fps"}
-                    -> writes camera_path.json next to the checkpoint and
-                    returns it (consumed by snt-render --traj filename,
-                    the reference's CameraPanel -> ns-render loop)
+  POST /path_cameras  {"steps_per_transition"?} -> interpolated frames
+                      [{"c2w", "fov", "time"?}] for client-side preview
+  POST /export_path   {"width", "height", "steps_per_transition", "fps"}
+                      -> writes camera_path.json next to the checkpoint
+                      and returns it (consumed by snt-render --traj
+                      filename — the reference CameraPanel -> ns-render
+                      loop)
+  POST /render_path   {"width", "height", "fps", "output"?} -> starts a
+                      background render of the keyframe path to
+                      renders/viewer_path.mp4 (PNG-frames fallback) —
+                      the RenderModal equivalent, in-process
+  GET  /render_status -> {"running", "frame", "total", "path"?}
 
 Progressive rendering: the client requests low resolution while moving
 and full resolution at rest — the same train-vs-render budget idea as
@@ -38,24 +51,46 @@ import numpy as np
 _PAGE = """<!DOCTYPE html>
 <html><head><title>soccernerfs_tpu viewer</title><style>
 body { margin:0; background:#111; color:#ddd; font-family:monospace; }
-#hud { position:fixed; top:8px; left:8px; }
+#hud { position:fixed; top:8px; left:8px; background:#000a; padding:8px;
+       border-radius:6px; max-width:360px; }
 img { width:100vw; height:100vh; object-fit:contain; display:block; }
-input[type=range] { width:300px; }
+input[type=range] { width:200px; vertical-align:middle; }
+button { margin:1px; }
+#kflist div { cursor:pointer; }
+#kflist div:hover { color:#fff; }
 </style></head><body>
-<div id="hud">drag: orbit | wheel: zoom | <span id="st"></span><br>
-t: <input type="range" id="time" min="0" max="1" step="0.01" value="0"><br>
-<button id="kf">+ keyframe</button> <button id="kfclear">clear</button>
-<button id="kfexport">export camera_path.json</button>
-<span id="kfst">0 keyframes</span></div>
+<div id="hud">
+  drag: orbit | wheel: zoom | <span id="st"></span><br>
+  out: <select id="out"><option>rgb</option><option>depth</option>
+       <option>accumulation</option></select>
+  fov <input type="range" id="fov" min="20" max="120" step="1" value="60">
+  <span id="fovv">60</span><br>
+  <span id="trow">t: <input type="range" id="time" min="0" max="1"
+       step="0.01" value="0"> <span id="tv">0.00</span></span><br>
+  <button id="kf">+ keyframe</button>
+  <button id="kfclear">clear</button>
+  <button id="preview">preview path</button><br>
+  <button id="kfexport">export camera_path.json</button>
+  <button id="renderpath">render path</button>
+  <span id="kfst">0 keyframes</span>
+  <div id="kflist"></div>
+  <div id="rst"></div>
+</div>
 <img id="view">
 <script>
-let az=0.8, el=0.5, radius=2.5, t=0, busy=false, dirty=true, moving=0;
+let az=0.8, el=0.5, radius=2.5, t=0, fov=60, out='rgb';
+let busy=false, dirty=true, moving=0, previewing=false;
 const img=document.getElementById('view'), st=document.getElementById('st');
-document.getElementById('time').oninput=e=>{t=parseFloat(e.target.value);poke();};
+document.getElementById('time').oninput=e=>{t=parseFloat(e.target.value);
+  document.getElementById('tv').textContent=t.toFixed(2); poke();};
+document.getElementById('fov').oninput=e=>{fov=parseFloat(e.target.value);
+  document.getElementById('fovv').textContent=fov; poke();};
+document.getElementById('out').onchange=e=>{out=e.target.value; poke();};
 let drag=false,lx=0,ly=0;
 img.onpointerdown=e=>{drag=true;lx=e.clientX;ly=e.clientY;};
 window.onpointerup=()=>{drag=false;poke();};
-window.onpointermove=e=>{if(!drag)return; az-=(e.clientX-lx)*0.01; el+=(e.clientY-ly)*0.01;
+window.onpointermove=e=>{if(!drag)return; az-=(e.clientX-lx)*0.01;
+  el+=(e.clientY-ly)*0.01;
   el=Math.max(-1.4,Math.min(1.4,el)); lx=e.clientX; ly=e.clientY; poke();};
 window.onwheel=e=>{radius*=Math.exp(e.deltaY*0.001); poke();};
 function poke(){ dirty=true; moving=4; }
@@ -69,18 +104,23 @@ function c2w(){
   const u=[r[1]*f[2]-r[2]*f[1], r[2]*f[0]-r[0]*f[2], r[0]*f[1]-r[1]*f[0]];
   return [[r[0],u[0],-f[0],eye[0]],[r[1],u[1],-f[1],eye[1]],[r[2],u[2],-f[2],eye[2]]];
 }
+let override=null;  // {c2w, fov, time} while previewing / jumped to a keyframe
+async function fetchFrame(cam, lowres){
+  const scale = lowres?4:1;
+  const body=JSON.stringify({c2w:cam.c2w, fov:cam.fov,
+    width:Math.floor(640/scale), height:Math.floor(360/scale),
+    time:cam.time!==undefined?cam.time:t, output:out});
+  const r=await fetch('/render',{method:'POST',body});
+  return URL.createObjectURL(await r.blob());
+}
 async function loop(){
-  if(dirty&&!busy){
+  if(dirty&&!busy&&!previewing){
     busy=true; dirty=false;
     const lowres = moving>0; if(moving>0) moving--;
-    const scale = lowres?4:1;
-    const body=JSON.stringify({c2w:c2w(),fov:60,width:Math.floor(640/scale),
-                               height:Math.floor(360/scale),time:t});
+    const cam = override || {c2w:c2w(), fov:fov};
     const t0=performance.now();
     try{
-      const r=await fetch('/render',{method:'POST',body});
-      const blob=await r.blob();
-      img.src=URL.createObjectURL(blob);
+      img.src = await fetchFrame(cam, lowres);
       st.textContent=`${(performance.now()-t0).toFixed(0)}ms ${lowres?'(preview)':''}`;
     }catch(e){ st.textContent='error '+e; }
     busy=false;
@@ -88,20 +128,60 @@ async function loop(){
   }
   requestAnimationFrame(loop);
 }
-const kfst=document.getElementById('kfst');
+const kfst=document.getElementById('kfst'), kflist=document.getElementById('kflist');
+async function refreshKfs(){
+  const j=await (await fetch('/keyframes')).json();
+  kfst.textContent=j.keyframes.length+' keyframes';
+  kflist.innerHTML='';
+  j.keyframes.forEach((k,i)=>{
+    const d=document.createElement('div');
+    d.textContent=`#${i} fov=${k.fov.toFixed(0)}`+(k.time!==undefined?` t=${k.time.toFixed(2)}`:'');
+    d.onclick=()=>{ override={c2w:k.c2w, fov:k.fov, time:k.time}; poke(); };
+    const del=document.createElement('button'); del.textContent='x';
+    del.onclick=async(e)=>{ e.stopPropagation();
+      await fetch('/remove_keyframe',{method:'POST',body:JSON.stringify({index:i})});
+      refreshKfs(); };
+    d.appendChild(del); kflist.appendChild(d);
+  });
+}
 document.getElementById('kf').onclick=async()=>{
-  const r=await fetch('/keyframe',{method:'POST',
-    body:JSON.stringify({c2w:c2w(),fov:60,time:t})});
-  kfst.textContent=(await r.json()).count+' keyframes';};
+  override=null;
+  await fetch('/keyframe',{method:'POST',
+    body:JSON.stringify({c2w:c2w(),fov:fov,time:t})});
+  refreshKfs();};
 document.getElementById('kfclear').onclick=async()=>{
   await fetch('/clear_keyframes',{method:'POST',body:'{}'});
-  kfst.textContent='0 keyframes';};
+  override=null; refreshKfs();};
+document.getElementById('preview').onclick=async()=>{
+  const j=await (await fetch('/path_cameras',{method:'POST',
+    body:JSON.stringify({steps_per_transition:12})})).json();
+  if(!j.frames||!j.frames.length) return;
+  previewing=true;
+  for(const f of j.frames){
+    try{ img.src=await fetchFrame(f, true); }catch(e){ break; }
+    await new Promise(res=>setTimeout(res, 40));
+  }
+  previewing=false; override=null; poke();};
 document.getElementById('kfexport').onclick=async()=>{
   const r=await fetch('/export_path',{method:'POST',
     body:JSON.stringify({width:1280,height:720})});
   const j=await r.json();
-  kfst.textContent='saved '+(j.path||JSON.stringify(j));};
-poke(); loop();
+  document.getElementById('rst').textContent='saved '+(j.path||JSON.stringify(j));};
+const rst=document.getElementById('rst');
+document.getElementById('renderpath').onclick=async()=>{
+  const r=await fetch('/render_path',{method:'POST',
+    body:JSON.stringify({width:1280,height:720,fps:24,output:out})});
+  const j=await r.json();
+  if(j.error){ rst.textContent=j.error; return; }
+  const tick=async()=>{
+    const s=await (await fetch('/render_status')).json();
+    rst.textContent=s.running?`rendering ${s.frame}/${s.total}`:
+      (s.path?`wrote ${s.path}`:'idle');
+    if(s.running) setTimeout(tick, 500);
+  }; tick();};
+fetch('/scene').then(r=>r.json()).then(j=>{
+  if(!j.has_time) document.getElementById('trow').style.display='none';});
+poke(); loop(); refreshKfs();
 </script></body></html>"""
 
 
@@ -113,6 +193,7 @@ class ViewerState:
         self.lock = threading.Lock()
         self.keyframes: list = []
         self.output_dir = Path(output_dir) if output_dir else Path.cwd()
+        self.render_job: dict = {"running": False, "frame": 0, "total": 0}
 
     def add_keyframe(self, c2w, fov, time=None) -> int:
         kf = {"c2w": c2w, "fov": float(fov)}
@@ -120,6 +201,31 @@ class ViewerState:
             kf["time"] = float(time)
         self.keyframes.append(kf)
         return len(self.keyframes)
+
+    def path_cameras(self, steps_per_transition: int = 12) -> list:
+        """Client-previewable interpolated path frames."""
+        from soccernerfs_tpu.core.camera_paths import (
+            get_path_from_json,
+            keyframes_to_camera_path_json,
+        )
+
+        if len(self.keyframes) < 2:
+            return [dict(k) for k in self.keyframes]
+        payload = keyframes_to_camera_path_json(
+            self.keyframes, 640, 360, steps_per_transition, 24
+        )
+        cams = get_path_from_json(payload)
+        frames = []
+        for i in range(cams.num_cameras):
+            fy = float(np.asarray(cams.fy)[i])
+            h = float(np.asarray(cams.height)[i])
+            frames.append({
+                "c2w": np.asarray(cams.camera_to_worlds)[i].tolist(),
+                "fov": float(np.rad2deg(2 * np.arctan(h / 2 / fy))),
+                **({"time": float(np.asarray(cams.times)[i])}
+                   if cams.times is not None else {}),
+            })
+        return frames
 
     def export_path(self, width=1280, height=720, steps_per_transition=24,
                     fps=24) -> dict:
@@ -137,7 +243,76 @@ class ViewerState:
         payload_meta["path"] = str(out)
         return payload_meta
 
-    def render(self, c2w, fov_deg, width, height, time=None) -> bytes:
+    def start_render_path(self, width=1280, height=720, fps=24,
+                          output="rgb", steps_per_transition=24) -> dict:
+        """Background render of the keyframe path (RenderModal loop)."""
+        if self.render_job.get("running"):
+            return {"error": "render already running"}
+        if len(self.keyframes) < 2:
+            return {"error": "need >= 2 keyframes"}
+        from soccernerfs_tpu.core.camera_paths import (
+            get_path_from_json,
+            keyframes_to_camera_path_json,
+        )
+
+        payload = keyframes_to_camera_path_json(
+            self.keyframes, width, height, steps_per_transition, fps
+        )
+        cams = get_path_from_json(payload)
+        out_path = self.output_dir / "renders" / "viewer_path.mp4"
+        self.render_job = {
+            "running": True, "frame": 0, "total": int(cams.num_cameras)
+        }
+
+        def run():
+            try:
+                frames = []
+                for i in range(cams.num_cameras):
+                    with self.lock:
+                        outputs = self.trainer.render_camera(cams, i)
+                    frames.append(self._to_rgb8(outputs, output))
+                    self.render_job["frame"] = i + 1
+                out_path.parent.mkdir(parents=True, exist_ok=True)
+                try:
+                    import imageio
+
+                    imageio.mimwrite(str(out_path), frames, fps=fps)
+                    self.render_job["path"] = str(out_path)
+                except Exception:
+                    from PIL import Image
+
+                    stem = out_path.with_suffix("")
+                    stem.mkdir(parents=True, exist_ok=True)
+                    for i, f in enumerate(frames):
+                        Image.fromarray(f).save(stem / f"{i:05d}.png")
+                    self.render_job["path"] = str(stem)
+            except Exception as e:
+                self.render_job["error"] = str(e)
+            finally:
+                self.render_job["running"] = False
+
+        threading.Thread(target=run, daemon=True).start()
+        return {"started": True, "total": int(cams.num_cameras)}
+
+    @staticmethod
+    def _to_rgb8(outputs: dict, output: str) -> np.ndarray:
+        from soccernerfs_tpu.utils.colormaps import (
+            apply_colormap,
+            apply_depth_colormap,
+        )
+
+        if output == "depth":
+            img = apply_depth_colormap(
+                outputs["depth"], outputs.get("accumulation")
+            )
+        elif output == "accumulation":
+            img = apply_colormap(outputs["accumulation"])
+        else:
+            img = outputs["rgb"]
+        return (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+
+    def render(self, c2w, fov_deg, width, height, time=None,
+               output: str = "rgb") -> bytes:
         from PIL import Image
 
         from soccernerfs_tpu.core.cameras import Cameras
@@ -155,7 +330,7 @@ class ViewerState:
         )
         with self.lock:
             outputs = self.trainer.render_camera(cams, 0)
-        rgb = (np.clip(outputs["rgb"], 0, 1) * 255).astype(np.uint8)
+        rgb = self._to_rgb8(outputs, output)
         buf = io.BytesIO()
         Image.fromarray(rgb).save(buf, format="PNG")
         return buf.getvalue()
@@ -186,6 +361,12 @@ def make_handler(state: ViewerState):
                 self._send(200, _PAGE.encode(), "text/html")
             elif self.path == "/scene":
                 self._send(200, json.dumps(state.scene_meta()).encode())
+            elif self.path == "/keyframes":
+                self._send(
+                    200, json.dumps({"keyframes": state.keyframes}).encode()
+                )
+            elif self.path == "/render_status":
+                self._send(200, json.dumps(state.render_job).encode())
             else:
                 self._send(404, b"{}")
 
@@ -200,6 +381,7 @@ def make_handler(state: ViewerState):
                         int(req.get("width", 640)),
                         int(req.get("height", 360)),
                         req.get("time"),
+                        req.get("output", "rgb"),
                     )
                     self._send(200, png, "image/png")
                 elif self.path == "/keyframe":
@@ -207,15 +389,37 @@ def make_handler(state: ViewerState):
                         req["c2w"], req.get("fov", 60.0), req.get("time")
                     )
                     self._send(200, json.dumps({"count": count}).encode())
+                elif self.path == "/remove_keyframe":
+                    idx = int(req["index"])
+                    if 0 <= idx < len(state.keyframes):
+                        state.keyframes.pop(idx)
+                    self._send(200, json.dumps(
+                        {"count": len(state.keyframes)}).encode())
                 elif self.path == "/clear_keyframes":
                     state.keyframes.clear()
                     self._send(200, b"{}")
+                elif self.path == "/path_cameras":
+                    frames = state.path_cameras(
+                        int(req.get("steps_per_transition", 12))
+                    )
+                    self._send(
+                        200, json.dumps({"frames": frames}).encode()
+                    )
                 elif self.path == "/export_path":
                     payload = state.export_path(
                         int(req.get("width", 1280)),
                         int(req.get("height", 720)),
                         int(req.get("steps_per_transition", 24)),
                         int(req.get("fps", 24)),
+                    )
+                    self._send(200, json.dumps(payload).encode())
+                elif self.path == "/render_path":
+                    payload = state.start_render_path(
+                        int(req.get("width", 1280)),
+                        int(req.get("height", 720)),
+                        int(req.get("fps", 24)),
+                        req.get("output", "rgb"),
+                        int(req.get("steps_per_transition", 24)),
                     )
                     self._send(200, json.dumps(payload).encode())
                 else:

@@ -55,3 +55,42 @@ def test_viewer_state_export_writes_json(tmp_path):
     cams = get_path_from_json(saved)
     assert cams.num_cameras == 4
     assert payload["path"].endswith("camera_path.json")
+
+
+def test_viewer_path_cameras_preview(tmp_path):
+    """/path_cameras returns client-previewable interpolated frames with
+    fov recovered from the interpolated focal (round-trips the exported
+    path through get_path_from_json)."""
+    state = ViewerState(trainer=None, output_dir=tmp_path)
+    state.add_keyframe(_kf([0, 0, 2], 50.0, 0.0)["c2w"], 50.0, 0.0)
+    state.add_keyframe(_kf([1, 0, 2], 70.0, 1.0)["c2w"], 70.0, 1.0)
+    frames = state.path_cameras(steps_per_transition=4)
+    assert len(frames) == 5
+    np.testing.assert_allclose(frames[0]["fov"], 50.0, atol=0.1)
+    np.testing.assert_allclose(frames[-1]["fov"], 70.0, atol=0.1)
+    np.testing.assert_allclose(
+        np.asarray(frames[2]["c2w"])[0, 3], 0.5, atol=1e-5
+    )
+    assert frames[0]["time"] == 0.0 and frames[-1]["time"] == 1.0
+    # single keyframe: returned as-is (no interpolation possible)
+    solo = ViewerState(trainer=None, output_dir=tmp_path)
+    solo.add_keyframe(_kf([0, 0, 2], 60.0)["c2w"], 60.0)
+    assert len(solo.path_cameras()) == 1
+
+
+def test_viewer_remove_keyframe_and_output_modes(tmp_path):
+    state = ViewerState(trainer=None, output_dir=tmp_path)
+    c2w = np.eye(4, dtype=np.float32)[:3].tolist()
+    state.add_keyframe(c2w, 60.0)
+    state.add_keyframe(c2w, 80.0)
+    state.keyframes.pop(0)
+    assert len(state.keyframes) == 1 and state.keyframes[0]["fov"] == 80.0
+    # output-channel conversion: depth/accumulation colormapped to rgb8
+    outputs = {
+        "rgb": np.random.default_rng(0).uniform(0, 1, (4, 6, 3)),
+        "depth": np.linspace(1, 3, 24).reshape(4, 6),
+        "accumulation": np.ones((4, 6)),
+    }
+    for mode in ("rgb", "depth", "accumulation"):
+        img = ViewerState._to_rgb8(outputs, mode)
+        assert img.shape == (4, 6, 3) and img.dtype == np.uint8
