@@ -35,7 +35,9 @@ HBM slices):
     id >= R (their one-hot rows vanish, so padding and foreign points
     are inert);
   * per super-chunk meta block [3*SUB, CHUNK] f32: rows 0:4 row ids
-    (exact as floats), 4:8 tx, 8:12 ty — ONE dma per super-chunk;
+    (exact as floats), 4:8 tx, 8:12 ty; backward gradients ride a
+    SEPARATE bf16 [P*CHUNK, CHUNK] block with its own DMA (half the
+    bytes of folding them into the f32 meta buffer);
   * features as [Mp/512, CHUNK, 128] blocks: point p = s*512 + j*128 + c
     lives at [s, c, j*32 + f];
   * super-chunk reads are 512-aligned: boundary blocks shared by two
@@ -170,7 +172,8 @@ def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int):
         jax.lax.fori_loop(0, n, body, 0)
 
 
-def _bwd_kernel(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int,
+def _bwd_kernel(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
+                planes: int,
                 feat: int = FEAT):
     """Multi-plane scatter: all ``planes`` share the stripe axis (their
     tile ranges are identical), so one pass over the sorted points feeds
@@ -189,10 +192,9 @@ def _bwd_kernel(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int,
       [8*P + 4 : ... )     P gradient blocks of CHUNK rows each
     """
     grad_refs = refs[:planes]          # one grad-table output per plane
-    s_mg, sems = refs[planes:]
+    s_meta, s_g, sems, gsems = refs[planes:]
     b = pl.program_id(0)
-    nbuf = s_mg.shape[0]
-    p_meta = 8 * planes + SUB
+    nbuf = s_meta.shape[0]
     g_pack = LANES // (4 * feat)       # quad rows per 128-lane line
     shift = g_pack.bit_length() - 1
     assert 1 << shift == g_pack
@@ -211,9 +213,13 @@ def _bwd_kernel(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int,
     y_hi = (lane1 % (4 * feat)) // (2 * feat) == 1            # p10, p11
     lane_grp = lane1 // (4 * feat)                            # packed slot
 
-    def mg_cp(sc_row, slot):
-        return pltpu.make_async_copy(mg_ref.at[sc_row], s_mg.at[slot],
+    def meta_cp(sc_row, slot):
+        return pltpu.make_async_copy(meta_ref.at[sc_row], s_meta.at[slot],
                                      sems.at[slot])
+
+    def g_cp(sc_row, slot):
+        return pltpu.make_async_copy(g_ref.at[sc_row], s_g.at[slot],
+                                     gsems.at[slot])
 
     for g in range(group):
         t = b * group + g
@@ -229,21 +235,23 @@ def _bwd_kernel(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int,
         for w in range(nbuf - 1):
             @pl.when(w < n)
             def _():
-                mg_cp(r0 + w, w).start()
+                meta_cp(r0 + w, w).start()
+                g_cp(r0 + w, w).start()
 
         def body(k, _):
             slot = jax.lax.rem(k, nbuf)
 
             @pl.when(k + nbuf - 1 < n)
             def _():
-                mg_cp(r0 + k + nbuf - 1,
-                      jax.lax.rem(k + nbuf - 1, nbuf)).start()
+                nslot = jax.lax.rem(k + nbuf - 1, nbuf)
+                meta_cp(r0 + k + nbuf - 1, nslot).start()
+                g_cp(r0 + k + nbuf - 1, nslot).start()
 
-            mg_cp(r0 + k, slot).wait()
-            blk = s_mg[slot]
+            meta_cp(r0 + k, slot).wait()
+            g_cp(r0 + k, slot).wait()
+            blk = s_meta[slot]
             for p in range(planes):
-                g_blk = blk[p_meta + p * CHUNK:p_meta + (p + 1) * CHUNK]
-                g_blk = g_blk.astype(jnp.bfloat16)            # [CHUNK, LANES]
+                g_blk = s_g[slot, p * CHUNK:(p + 1) * CHUNK]  # [CHUNK, LANES]
                 ohs, gws = [], []
                 for j in range(SUB):
                     idx = blk[SUB * p + j].astype(jnp.int32)[:, None]
@@ -276,8 +284,8 @@ def _bwd_kernel(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int,
         jax.lax.fori_loop(0, n, body, 0)
 
 
-def _bwd_kernel_fold(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int,
-                     h: int, w: int, spill_pad: int):
+def _bwd_kernel_fold(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
+                     planes: int, h: int, w: int, spill_pad: int):
     """Like _bwd_kernel (feat == FEAT, no row-packing) but the packed
     quadrant gradients are FOLDED into unpacked [*, FEAT] plane-grad rows
     before leaving VMEM, so the kernel emits 4x fewer gradient bytes and
@@ -301,10 +309,9 @@ def _bwd_kernel_fold(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int,
     rows, then overwrites it with its own halo for block b+1.
     """
     out_main = refs[:planes]               # (tr*group, FEAT) blocks
-    s_mg, s_acc, s_carry, sems = refs[planes:]
+    s_meta, s_g, s_acc, s_carry, sems, gsems = refs[planes:]
     b = pl.program_id(0)
-    nbuf = s_mg.shape[0]
-    p_meta = 8 * planes + SUB
+    nbuf = s_meta.shape[0]
     tg = tr * group
     feat = FEAT
 
@@ -318,9 +325,13 @@ def _bwd_kernel_fold(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int,
     x_hi = (lane1 // feat) % 2 == 1
     y_hi = lane1 // (2 * feat) == 1
 
-    def mg_cp(sc_row, slot):
-        return pltpu.make_async_copy(mg_ref.at[sc_row], s_mg.at[slot],
+    def meta_cp(sc_row, slot):
+        return pltpu.make_async_copy(meta_ref.at[sc_row], s_meta.at[slot],
                                      sems.at[slot])
+
+    def g_cp(sc_row, slot):
+        return pltpu.make_async_copy(g_ref.at[sc_row], s_g.at[slot],
+                                     gsems.at[slot])
 
     for p in range(planes):
         s_acc[p] = jnp.zeros((tg, LANES), jnp.float32)
@@ -341,21 +352,23 @@ def _bwd_kernel_fold(ts_ref, mg_ref, *refs, tr: int, group: int, planes: int,
         for q in range(nbuf - 1):
             @pl.when(q < n)
             def _():
-                mg_cp(r0 + q, q).start()
+                meta_cp(r0 + q, q).start()
+                g_cp(r0 + q, q).start()
 
         def body(k, _):
             slot = jax.lax.rem(k, nbuf)
 
             @pl.when(k + nbuf - 1 < n)
             def _():
-                mg_cp(r0 + k + nbuf - 1,
-                      jax.lax.rem(k + nbuf - 1, nbuf)).start()
+                nslot = jax.lax.rem(k + nbuf - 1, nbuf)
+                meta_cp(r0 + k + nbuf - 1, nslot).start()
+                g_cp(r0 + k + nbuf - 1, nslot).start()
 
-            mg_cp(r0 + k, slot).wait()
-            blk = s_mg[slot]
+            meta_cp(r0 + k, slot).wait()
+            g_cp(r0 + k, slot).wait()
+            blk = s_meta[slot]
             for p in range(planes):
-                g_blk = blk[p_meta + p * CHUNK:p_meta + (p + 1) * CHUNK]
-                g_blk = g_blk.astype(jnp.bfloat16)            # [CHUNK, LANES]
+                g_blk = s_g[slot, p * CHUNK:(p + 1) * CHUNK]  # [CHUNK, LANES]
                 ohs, gws = [], []
                 for j in range(SUB):
                     idx = blk[SUB * p + j].astype(jnp.int32)[:, None]
@@ -642,7 +655,8 @@ def packed_bilerp_bwd_group(gs, rowids, txs, ty, *, r: int, tr: int = 1024,
         + [_rows(ty, 0.0, pad)]
     )
     s_rows = parts[0].shape[0]
-    g_blocks = [pack_features(g.astype(jnp.float32), s_rows) for g in gs]
+    meta = jnp.concatenate(parts, axis=1)           # [S, 8P+4, CHUNK] f32
+    g_blocks = [pack_features(g.astype(jnp.bfloat16), s_rows) for g in gs]
     if 4 * feat < LANES:  # pad the used lanes up to a full line
         g_blocks = [
             jnp.concatenate(
@@ -651,7 +665,9 @@ def packed_bilerp_bwd_group(gs, rowids, txs, ty, *, r: int, tr: int = 1024,
             )
             for gb in g_blocks
         ]
-    mg = jnp.concatenate(parts + g_blocks, axis=1)  # [S, 8P+4+128P, CHUNK]
+    # gradients ride a SEPARATE bf16 input with their own DMA (see
+    # bilerp_bwd_group_fold): no f32 convert/concat pass, half the bytes
+    gcat = jnp.concatenate(g_blocks, axis=1)        # [S, P*CHUNK, CHUNK]
     ts = tile_starts(rowids[0] // g_pack, r_pad, tr)
 
     grads = pl.pallas_call(
@@ -661,7 +677,8 @@ def packed_bilerp_bwd_group(gs, rowids, txs, ty, *, r: int, tr: int = 1024,
             num_scalar_prefetch=1,
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),            # meta+g blocks
+                pl.BlockSpec(memory_space=pl.ANY),            # meta blocks
+                pl.BlockSpec(memory_space=pl.ANY),            # g blocks
             ],
             # one grad table per plane: separate outputs avoid a [P, R, 4F]
             # split copy (~1 GB at the finest scale) after the kernel
@@ -670,8 +687,9 @@ def packed_bilerp_bwd_group(gs, rowids, txs, ty, *, r: int, tr: int = 1024,
                 for _ in range(planes)
             ),
             scratch_shapes=[
-                pltpu.VMEM((BWD_NBUF, 8 * planes + SUB + planes * CHUNK,
-                            CHUNK), jnp.float32),
+                pltpu.VMEM((BWD_NBUF, 8 * planes + SUB, CHUNK), jnp.float32),
+                pltpu.VMEM((BWD_NBUF, planes * CHUNK, CHUNK), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((BWD_NBUF,)),
                 pltpu.SemaphoreType.DMA((BWD_NBUF,)),
             ],
         ),
@@ -681,7 +699,7 @@ def packed_bilerp_bwd_group(gs, rowids, txs, ty, *, r: int, tr: int = 1024,
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(ts, mg)
+    )(ts, meta, gcat)
     if planes == 1:
         grads = (grads,) if not isinstance(grads, (tuple, list)) else grads
     return [g[:r4].reshape(r, 4 * feat) for g in grads]
@@ -736,8 +754,13 @@ def bilerp_bwd_group_fold(gs, rowids, txs, ty, *, h: int, w: int,
         + [_rows(ty, 0.0, pad)]
     )
     s_rows = parts[0].shape[0]
-    g_blocks = [pack_features(g.astype(jnp.float32), s_rows) for g in gs]
-    mg = jnp.concatenate(parts + g_blocks, axis=1)  # [S, 8P+4+128P, CHUNK]
+    meta = jnp.concatenate(parts, axis=1)           # [S, 8P+4, CHUNK] f32
+    # gradients ride a SEPARATE bf16 input (their own per-superchunk DMA):
+    # folding them into the f32 meta buffer forced a convert + concat pass
+    # over the whole gradient stream and doubled its DMA bytes
+    gcat = jnp.concatenate(
+        [pack_features(g.astype(jnp.bfloat16), s_rows) for g in gs], axis=1
+    )                                               # [S, P*CHUNK, CHUNK]
     ts = tile_starts(rowids[0], r_pad, tr)
 
     outs = pl.pallas_call(
@@ -747,17 +770,19 @@ def bilerp_bwd_group_fold(gs, rowids, txs, ty, *, h: int, w: int,
             num_scalar_prefetch=1,
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),            # meta+g blocks
+                pl.BlockSpec(memory_space=pl.ANY),            # meta blocks
+                pl.BlockSpec(memory_space=pl.ANY),            # g blocks
             ],
             out_specs=tuple(
                 pl.BlockSpec((tg, FEAT), lambda b, ts: (b, 0))
                 for _ in range(planes)
             ),
             scratch_shapes=[
-                pltpu.VMEM((BWD_NBUF, 8 * planes + SUB + planes * CHUNK,
-                            CHUNK), jnp.float32),
+                pltpu.VMEM((BWD_NBUF, 8 * planes + SUB, CHUNK), jnp.float32),
+                pltpu.VMEM((BWD_NBUF, planes * CHUNK, CHUNK), jnp.bfloat16),
                 pltpu.VMEM((planes, tg, LANES), jnp.float32),
                 pltpu.VMEM((planes, spill_pad, FEAT), jnp.float32),
+                pltpu.SemaphoreType.DMA((BWD_NBUF,)),
                 pltpu.SemaphoreType.DMA((BWD_NBUF,)),
             ],
         ),
@@ -767,7 +792,7 @@ def bilerp_bwd_group_fold(gs, rowids, txs, ty, *, h: int, w: int,
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(ts, mg)
+    )(ts, meta, gcat)
     if planes == 1:
         outs = (outs,) if not isinstance(outs, (tuple, list)) else outs
     return [o[:r] for o in outs]
