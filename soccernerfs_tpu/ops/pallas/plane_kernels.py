@@ -73,7 +73,8 @@ def _onehot_block(meta, base, tr):
     return jnp.concatenate(ohs, axis=0), jnp.concatenate(masks, axis=1)
 
 
-def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int):
+def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int,
+                grid_n: int):
     """Multi-plane gather: mirrors _bwd_kernel's stripe/group structure.
 
     The lerp runs in-kernel: each point's [CHUNK, LANES] one-hot matmul row
@@ -84,10 +85,24 @@ def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int):
     meta block rows: [0:4P) quad row ids, [4P:8P) tx, [8P:8P+4) shared ty.
     Outputs: one [S, CHUNK, LANES] feature array per plane, lane group j
     of block s holding chunk 4s+j (see pack_features).
+
+    Output blocks shared between adjacent stripes are merged in a VMEM
+    PENDING buffer instead of a read-modify-write round trip: sorted rows
+    mean a shared block is always visited consecutively, so the kernel
+    accumulates into s_pend until the block row changes, then flushes it
+    with an ASYNC write (double-buffered; the wait for a slot's previous
+    flush happens one flush later).  The pending state persists across
+    (sequential) grid steps; the final drain runs at the last step.  At
+    the finest scales a stripe holds ~1 super-chunk, so the old
+    per-chunk synchronous RMW dominated the kernel.
     """
     table_refs = refs[:planes]
     out_refs = refs[planes:2 * planes]
-    s_meta, s_out, sems, osem = refs[2 * planes:]
+    s_meta, s_pend, s_state, sems, osems = refs[2 * planes:]
+    # s_state (SMEM i32): [0] pending row + 1 (0 = none)
+    #                     [1] flush count (active slot = count % 2)
+    #                     [2]/[3] last-flushed row + 1 per slot (0 = none,
+    #                             cleared when its wait completes)
     b = pl.program_id(0)
     nbuf = s_meta.shape[0]
 
@@ -101,6 +116,17 @@ def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int):
     def meta_cp(sc_row, slot):
         return pltpu.make_async_copy(meta_ref.at[sc_row], s_meta.at[slot],
                                      sems.at[slot])
+
+    def flush_cp(slot, p, row):
+        return pltpu.make_async_copy(s_pend.at[slot, p], out_refs[p].at[row],
+                                     osems.at[slot, p])
+
+    @pl.when(b == 0)
+    def _():
+        s_state[0] = 0
+        s_state[1] = 0
+        s_state[2] = 0
+        s_state[3] = 0
 
     for g in range(group):
         t = b * group + g
@@ -125,9 +151,10 @@ def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int):
 
             meta_cp(r0 + k, slot).wait()
             blk = s_meta[slot]
+            blocks, masks = [], []
             for p in range(planes):
                 tile = table_refs[p][g * tr:(g + 1) * tr]
-                vals, masks = [], []
+                vals, ms = [], []
                 for j in range(SUB):
                     idx = blk[SUB * p + j].astype(jnp.int32)[:, None]
                     d2 = idx - base
@@ -145,31 +172,93 @@ def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int):
                     vals.append(jnp.dot(rows * wx * wy, fold,
                                         preferred_element_type=jnp.float32))
                     m = ((d2 >= 0) & (d2 < tr)).astype(jnp.float32)
-                    masks.append(jnp.broadcast_to(m, (CHUNK, FEAT)))
-                block = jnp.concatenate(vals, axis=1)         # [CHUNK, LANES]
-                mask = jnp.concatenate(masks, axis=1)
+                    ms.append(jnp.broadcast_to(m, (CHUNK, FEAT)))
+                blocks.append(jnp.concatenate(vals, axis=1))  # [CHUNK, LANES]
+                masks.append(jnp.concatenate(ms, axis=1))
 
-                is_boundary = jnp.logical_or(k == 0, k == n - 1)
+            rowk = r0 + k
+            pend = s_state[0]
 
-                @pl.when(is_boundary)
+            @pl.when(pend == rowk + 1)
+            def _():
+                # same output block as the previous chunk: merge in VMEM
+                act = jax.lax.rem(s_state[1], 2)
+                for p in range(planes):
+                    s_pend[act, p] = jnp.where(
+                        masks[p] > 0.5, blocks[p], s_pend[act, p]
+                    )
+
+            @pl.when(pend != rowk + 1)
+            def _():
+                @pl.when(pend != 0)
                 def _():
-                    # merge with an adjacent stripe's write; real select —
-                    # foreign lanes may hold NaN bits
-                    cp_in = pltpu.make_async_copy(
-                        out_refs[p].at[r0 + k], s_out, osem)
-                    cp_in.start(); cp_in.wait()
-                    s_out[:] = jnp.where(mask > 0.5, block, s_out[:])
+                    # flush the active slot asynchronously
+                    fc = s_state[1]
+                    act = jax.lax.rem(fc, 2)
+                    for p in range(planes):
+                        flush_cp(act, p, pend - 1).start()
 
-                @pl.when(jnp.logical_not(is_boundary))
+                    @pl.when(act == 0)
+                    def _():
+                        s_state[2] = pend
+
+                    @pl.when(act == 1)
+                    def _():
+                        s_state[3] = pend
+
+                    s_state[1] = fc + 1
+                # the (possibly new) active slot: wait out its previous
+                # flush before overwriting
+                act2 = jax.lax.rem(s_state[1], 2)
+                infl = jnp.where(act2 == 0, s_state[2], s_state[3])
+
+                @pl.when(infl != 0)
                 def _():
-                    s_out[:] = block
+                    for p in range(planes):
+                        flush_cp(act2, p, infl - 1).wait()
 
-                cp_out = pltpu.make_async_copy(s_out, out_refs[p].at[r0 + k],
-                                               osem)
-                cp_out.start(); cp_out.wait()
+                    @pl.when(act2 == 0)
+                    def _():
+                        s_state[2] = 0
+
+                    @pl.when(act2 == 1)
+                    def _():
+                        s_state[3] = 0
+
+                for p in range(planes):
+                    s_pend[act2, p] = blocks[p]
+                s_state[0] = rowk + 1
+
             return 0
 
         jax.lax.fori_loop(0, n, body, 0)
+
+    @pl.when(b == grid_n - 1)
+    def _():
+        pend = s_state[0]
+
+        @pl.when(pend != 0)
+        def _():
+            fc = s_state[1]
+            act = jax.lax.rem(fc, 2)
+            for p in range(planes):
+                flush_cp(act, p, pend - 1).start()
+
+            @pl.when(act == 0)
+            def _():
+                s_state[2] = pend
+
+            @pl.when(act == 1)
+            def _():
+                s_state[3] = pend
+
+        for slot in range(2):
+            infl = s_state[2 + slot]
+
+            @pl.when(infl != 0)
+            def _():
+                for p in range(planes):
+                    flush_cp(slot, p, infl - 1).wait()
 
 
 def _bwd_kernel(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
@@ -566,7 +655,8 @@ def packed_bilerp_fwd_group(tables, rowids, txs, ty, *, tr: int = 1024,
     s_rows = meta.shape[0]
 
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, tr=tr, group=group, planes=planes),
+        functools.partial(_fwd_kernel, tr=tr, group=group, planes=planes,
+                          grid_n=grid),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
@@ -580,9 +670,10 @@ def packed_bilerp_fwd_group(tables, rowids, txs, ty, *, tr: int = 1024,
             ),
             scratch_shapes=[
                 pltpu.VMEM((NBUF, 8 * planes + SUB, CHUNK), jnp.float32),
-                pltpu.VMEM((CHUNK, LANES), jnp.float32),
+                pltpu.VMEM((2, planes, CHUNK, LANES), jnp.float32),
+                pltpu.SMEM((4,), jnp.int32),
                 pltpu.SemaphoreType.DMA((NBUF,)),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2, planes)),
             ],
         ),
         out_shape=tuple(
