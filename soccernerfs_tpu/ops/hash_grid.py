@@ -244,6 +244,7 @@ def hash_grid_encode(
         res = resolutions[lvl]
         rows = offsets[lvl + 1] - offsets[lvl]
         dense = res**D <= rows
+        strided = (dense and cfg.gridtype == "hash") or cfg.gridtype == "tiled"
 
         # CUDA convention: pos = x * scale + (align_corners ? 0 : 0.5),
         # corners in [0, resolution-1] (temporal_gridencoder.cu kernel_grid)
@@ -252,14 +253,43 @@ def hash_grid_encode(
         frac = pos - pos0
         pos0 = pos0.astype(jnp.int32)
 
+        feats_all = None
+        if strided:
+            # OCT-PACK: stride indexing is linear in the lattice coords, so
+            # corner c's row is (base + delta_c) % rows — pre-rolling the
+            # level table by each delta lets ONE gather fetch all 2^D
+            # corners (TPU gathers pay per row; 8x fewer rows).  jnp.roll
+            # reproduces the CUDA wrap-through-modulo exactly
+            # (get_grid_index has no clip), and its transpose keeps the
+            # backward scatter at B rows instead of 2^D * B.
+            lvl_table = jax.lax.dynamic_slice_in_dim(
+                table, offsets[lvl], rows, axis=0
+            )
+            deltas = []
+            for c in range(n_corners):
+                off = corner_offsets[c]
+                d_val = 0
+                for dd in range(D):
+                    d_val = d_val * res + int(off[dd])
+                deltas.append(d_val % rows)
+            packed = jnp.concatenate(
+                [jnp.roll(lvl_table, -d, axis=0) for d in deltas], axis=-1
+            )  # [rows, 2^D * row_channels]
+            base = _hash_index(pos0, res, rows, cfg, dense)
+            feats_all = jnp.take(packed, base, axis=0, mode="clip")
+
         level_out = 0.0
+        C = table.shape[-1]
         for c in range(n_corners):
             off = corner_offsets[c]
-            # no clamp: the CUDA kernel wraps out-of-grid corners through
-            # the stride/hash modulo (get_grid_index has no clip)
-            corner = pos0 + off
-            idx = _hash_index(corner, res, rows, cfg, dense) + offsets[lvl]
-            feats = jnp.take(table, idx, axis=0)  # [B, row_channels]
+            if strided:
+                feats = feats_all[:, c * C:(c + 1) * C]
+            else:
+                # no clamp: the CUDA kernel wraps out-of-grid corners
+                # through the hash modulo (get_grid_index has no clip)
+                corner = pos0 + off
+                idx = _hash_index(corner, res, rows, cfg, dense) + offsets[lvl]
+                feats = jnp.take(table, idx, axis=0)  # [B, row_channels]
             if cfg.temporal_dim > 0:
                 fa = jnp.take_along_axis(feats, ch_a, axis=-1)
                 fb = jnp.take_along_axis(feats, ch_b, axis=-1)

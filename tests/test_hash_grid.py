@@ -99,3 +99,64 @@ def test_level_layout_row_cap():
     assert np.all(rows <= 2**12)
     assert np.all(rows % 8 == 0)
     assert resolutions[0] == 16
+
+
+def test_octpack_matches_per_corner_gathers():
+    """The oct-packed dense/tiled fast path == naive per-corner gathers,
+    for values AND table gradients (the pack is 8 rolls whose transpose
+    must fold corner gradients back exactly)."""
+    import soccernerfs_tpu.ops.hash_grid as hg
+
+    cfg = HashGridConfig(
+        num_levels=6, level_dim=2, base_resolution=4, per_level_scale=1.7,
+        log2_hashmap_size=9,  # mix of dense and hash levels
+    )
+    params = init_hash_grid(jax.random.PRNGKey(2), cfg, std=0.5)
+    rng = np.random.default_rng(3)
+    # include out-of-grid corners (coords slightly past 1) to exercise the
+    # CUDA wrap-through-modulo semantics
+    x = jnp.asarray(rng.uniform(-0.05, 1.05, (200, 3)).astype(np.float32))
+
+    def naive(cfg, params, xyz):
+        """Reference: force the per-corner gather path for every level."""
+        offsets, scales, resolutions = hg.level_layout(cfg)
+        table = params["embeddings"]
+        D = cfg.input_dim
+        corner_offsets = np.stack(
+            np.meshgrid(*([np.arange(2)] * D), indexing="ij"), axis=-1
+        ).reshape(-1, D)
+        outputs = []
+        for lvl in range(cfg.num_levels):
+            res = resolutions[lvl]
+            rows = offsets[lvl + 1] - offsets[lvl]
+            dense = res ** D <= rows
+            pos = xyz * scales[lvl] + (0.0 if cfg.align_corners else 0.5)
+            pos0 = jnp.floor(pos)
+            frac = pos - pos0
+            pos0 = pos0.astype(jnp.int32)
+            level_out = 0.0
+            for c in range(2 ** D):
+                off = corner_offsets[c]
+                idx = hg._hash_index(pos0 + off, res, rows, cfg, dense)
+                feats = jnp.take(table, idx + offsets[lvl], axis=0)
+                w = jnp.prod(
+                    jnp.where(off[None] == 1, frac, 1.0 - frac),
+                    axis=-1, keepdims=True,
+                )
+                level_out = level_out + w * feats
+            outputs.append(level_out)
+        return jnp.concatenate(outputs, axis=-1)
+
+    out_fast = hash_grid_encode(cfg, params, x)
+    out_ref = naive(cfg, params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_fast), np.asarray(out_ref), atol=1e-6
+    )
+
+    cot = jnp.asarray(rng.standard_normal(out_ref.shape, dtype=np.float32))
+    g_fast = jax.grad(lambda p: jnp.vdot(hash_grid_encode(cfg, p, x), cot))(params)
+    g_ref = jax.grad(lambda p: jnp.vdot(naive(cfg, p, x), cot))(params)
+    np.testing.assert_allclose(
+        np.asarray(g_fast["embeddings"]), np.asarray(g_ref["embeddings"]),
+        atol=1e-5,
+    )
