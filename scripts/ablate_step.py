@@ -149,6 +149,8 @@ def build(ablation: str):
 
 
 def measure(ablation: str, n_steps=30):
+    if ablation == "mix":
+        return measure_mix()
     train_props = not ablation.startswith("np_") and ablation != "noprop"
     step_fn, state, make_batch = build(ablation)
     batches = [make_batch(i) for i in range(8)]
@@ -160,6 +162,24 @@ def measure(ablation: str, n_steps=30):
     float(jax.device_get(loss))
     ms = (time.time() - t0) / n_steps * 1e3
     print(f"{ablation}: {ms:.1f} ms/step ({4096/ms*1e3:.0f} rays/s)")
+
+
+def measure_mix(n_steps=48):
+    """Alternate the two compiled step variants like real training (5
+    noprop : 1 full) — exposes any program-switch cost (e.g. layout
+    mismatches between the two executables' state buffers)."""
+    step_fn, state, make_batch = build("full")
+    batches = [make_batch(i) for i in range(8)]
+    state, loss = step_fn(state, *batches[0], True)
+    jax.block_until_ready(loss)
+    state, loss = step_fn(state, *batches[1], False)
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for i in range(n_steps):
+        state, loss = step_fn(state, *batches[i % 8], i % 6 == 5)
+    float(jax.device_get(loss))
+    ms = (time.time() - t0) / n_steps * 1e3
+    print(f"mix(5:1): {ms:.1f} ms/step ({4096/ms*1e3:.0f} rays/s)")
 
 
 if __name__ == "__main__":
