@@ -184,95 +184,6 @@ def _bilerp_rows(p, rowid, tx, ty, feat):
     return top * (1.0 - tyc) + bot * tyc
 
 
-def plane_sample_sorted_group(
-    packeds,
-    rowids,
-    txs,
-    ty: jnp.ndarray,
-    *,
-    w: int,
-    use_pallas_bwd: bool,
-    interpret: bool | None = None,
-):
-    """Bilinear sample of P same-shaped quad-packed planes sharing one
-    stripe (sort) axis, at stripe-sorted row ids.
-
-    Forward: one bf16 gather + lerp per plane (XLA — fast at every table
-    size).  Backward: when ``use_pallas_bwd``, ALL P packed-table
-    gradients come from ONE stripe-bucketed Pallas scatter kernel
-    (ops/pallas/plane_kernels.packed_bilerp_bwd_group) instead of XLA
-    scatter-adds; coordinate gradients are NOT produced (callers guarantee
-    sample positions carry no gradient: PDF bins are detached and the
-    camera optimizer is off — checked at the call site).
-
-    Args:
-        packeds: P fp32 quad-packed planes [R, 4F] (4F == 128), same shape.
-        rowids: P int32 row-id arrays [M], NONDECREASING in stripes of
-            ``w`` rows (all planes sorted by the shared y coordinate).
-        txs: P [M] f32 x fractions; ty: shared [M] f32 y fraction.
-        w: plane width (stripe alignment unit).
-    Returns:
-        list of P [M, F] f32 features, in the given (sorted) order.
-    """
-    r, lanes = packeds[0].shape
-    feat = lanes // 4
-    if interpret is None:
-        interpret = PALLAS_INTERPRET
-
-    if not use_pallas_bwd or FORCE_XLA_BWD:
-        return [
-            _bilerp_rows(p, rowid, tx, ty, feat)
-            for p, rowid, tx in zip(packeds, rowids, txs)
-        ]
-
-    from soccernerfs_tpu.ops.pallas import plane_kernels as pk
-
-    # stripe height: ~the row-span of one super-chunk (so a super-chunk
-    # rarely straddles stripes), at least one plane row, at most 2048
-    # (the one-hot matmul pays tr*128 MACs per point)
-    m = rowids[0].shape[0]
-    planes = len(packeds)
-    span = max(1, (r * pk.SC) // max(m, 1))
-    tr = w * max(1, min(-(-span // w), max(1, 2048 // w), -(-r // w)))
-    # grad blocks are (P, tr*group, 128) f32, double-buffered: keep in VMEM
-    group = max(1, min(4096 // (tr * planes), -(-r // tr)))
-    # big tables: XLA's gather pays ~9-13 ns/row; the in-kernel one-hot
-    # gather with fused lerp is cheaper there (small tables stay on XLA)
-    fwd_kernel = r >= 65536
-
-    @jax.custom_vjp
-    def op(packeds, rowids, txs, ty):
-        if fwd_kernel:
-            return pk.packed_bilerp_fwd_group(
-                packeds, rowids, txs, ty, tr=tr, group=group,
-                interpret=interpret,
-            )
-        return [
-            _bilerp_rows(p, rowid, tx, ty, feat)
-            for p, rowid, tx in zip(packeds, rowids, txs)
-        ]
-
-    def op_fwd(packeds, rowids, txs, ty):
-        return op(packeds, rowids, txs, ty), (rowids, txs, ty)
-
-    def op_bwd(res, gs):
-        rowids_, txs_, ty_ = res
-        grads = pk.packed_bilerp_bwd_group(
-            gs, rowids_, txs_, ty_, r=r, tr=tr, group=group,
-            interpret=interpret,
-        )
-        zero_i = [np.zeros(ri.shape, dtype=jax.dtypes.float0) for ri in rowids_]
-        return (
-            [g.astype(packeds[0].dtype) for g in grads],
-            zero_i,
-            [jnp.zeros_like(t) for t in txs_],
-            jnp.zeros_like(ty_),
-        )
-
-    op.defvjp(op_fwd, op_bwd)
-    return op(list(packeds), list(rowids), list(txs), ty)
-
-
 def plane_sample_fold_group(
     grids,
     rowids,
@@ -293,8 +204,13 @@ def plane_sample_fold_group(
     which emits unpacked [H*W, F] gradients directly — no packed fp32
     gradient (4x the table) and no XLA quad_pack transpose.
 
-    Args / returns: as plane_sample_sorted_group, but ``grids`` are
-    [H, W, F] (not packed) and gradients flow to the grids.
+    Args:
+        grids: P same-shaped [H, W, F] f32 planes.
+        rowids: P int32 row-id arrays [M] (row = y0*w + x0),
+            NONDECREASING in stripes (all planes sorted by the shared y).
+        txs: P [M] f32 x fractions; ty: shared [M] f32 y fraction.
+    Returns:
+        list of P [M, F] f32 features, in the given (sorted) order.
     """
     h, w, feat = grids[0].shape
     r = h * w
@@ -350,23 +266,6 @@ def plane_sample_fold_group(
     return op(list(grids), list(rowids), list(txs), ty)
 
 
-def plane_sample_sorted(
-    packed_f32: jnp.ndarray,
-    rowid: jnp.ndarray,
-    tx: jnp.ndarray,
-    ty: jnp.ndarray,
-    *,
-    w: int,
-    use_pallas_bwd: bool,
-    interpret: bool | None = None,
-) -> jnp.ndarray:
-    """Single-plane convenience wrapper over plane_sample_sorted_group."""
-    return plane_sample_sorted_group(
-        [packed_f32], [rowid], [tx], ty,
-        w=w, use_pallas_bwd=use_pallas_bwd, interpret=interpret,
-    )[0]
-
-
 def plane_sample_group_bwdsort(
     packeds,
     rowids,
@@ -378,8 +277,8 @@ def plane_sample_group_bwdsort(
     use_pallas_bwd: bool,
     interpret: bool | None = None,
 ):
-    """Like plane_sample_sorted_group but the points arrive UNSORTED and
-    the sort happens inside the BACKWARD only.
+    """Like plane_sample_fold_group but for NARROW packed planes whose
+    points arrive UNSORTED — the sort happens inside the BACKWARD only.
 
     For the proposal fields the forward gather is already at the
     small-table floor, and sorting every step just to speed a backward
@@ -389,7 +288,8 @@ def plane_sample_group_bwdsort(
 
     Args:
         ykey: the shared stripe coordinate (continuous), the sort key.
-        Other args as plane_sample_sorted_group, but row ids in ANY order.
+        packeds: P quad-packed planes [R, 4F] (4F <= 128), same shape;
+        other args as plane_sample_fold_group, but row ids in ANY order.
     """
     r, lanes = packeds[0].shape
     feat = lanes // 4

@@ -210,6 +210,75 @@ def _hash_index(coords: jnp.ndarray, resolution: int, rows: int, cfg, dense: boo
     return (h % np.uint32(rows)).astype(jnp.int32)
 
 
+# flip in tests to run the Pallas scatter in interpreter mode on CPU
+SCATTER_INTERPRET = False
+
+
+def _use_scatter_kernel(C: int) -> bool:
+    """XOR-hash levels route their table gradient through the sorted
+    Pallas scatter kernel on TPU: XLA's scatter-add serializes colliding
+    updates (~80 ns/update into the narrow [R, 2] tables — 5 of the 6
+    hash levels cost ~256 ms EACH at nerfacto scale, PERF.md)."""
+    return (
+        128 % C == 0
+        and (SCATTER_INTERPRET or jax.default_backend() == "tpu")
+    )
+
+
+def _hash_level_apply(lvl_table, idxs, ws):
+    """sum_k ws[k][:, None] * lvl_table[idxs[k]] with a sorted-scatter
+    backward for the table gradient.
+
+    Args:
+        lvl_table: [rows, C] f32 one level's embedding rows.
+        idxs: [K, B] int32 LOCAL row indices (corners stacked).
+        ws: [K, B] f32 interpolation weights (carry gradient to
+            positions via the frac products).
+    Returns:
+        [B, C] f32.
+    """
+    rows = lvl_table.shape[0]
+
+    @jax.custom_vjp
+    def op(lvl_table, idxs, ws):
+        out = 0.0
+        for k in range(idxs.shape[0]):
+            out = out + ws[k][:, None] * jnp.take(
+                lvl_table, idxs[k], axis=0, mode="clip"
+            )
+        return out
+
+    def op_fwd(lvl_table, idxs, ws):
+        feats = jnp.stack(
+            [jnp.take(lvl_table, idxs[k], axis=0, mode="clip")
+             for k in range(idxs.shape[0])]
+        )  # [K, B, C] — saved so the ws cotangent needs no re-gather
+        out = jnp.einsum("kb,kbc->bc", ws, feats)
+        return out, (idxs, ws, feats)
+
+    def op_bwd(res, g):
+        from soccernerfs_tpu.ops.pallas import plane_kernels as pk
+
+        idxs, ws, feats = res
+        K, B = idxs.shape
+        C = feats.shape[-1]
+        gw = (ws[:, :, None] * g[None]).reshape(K * B, C)
+        srt = jax.lax.sort(
+            (idxs.reshape(K * B), *(gw[:, ch] for ch in range(C))),
+            num_keys=1,
+        )
+        d_table = pk.sorted_scatter_add(
+            jnp.stack(srt[1:], axis=-1), srt[0], r=rows, c=C,
+            interpret=SCATTER_INTERPRET,
+        )
+        d_ws = jnp.einsum("bc,kbc->kb", g, feats)
+        zero_i = np.zeros(idxs.shape, dtype=jax.dtypes.float0)
+        return d_table.astype(lvl_table.dtype), zero_i, d_ws
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(lvl_table, idxs, ws)
+
+
 def hash_grid_encode(
     cfg: HashGridConfig,
     params: dict,
@@ -278,8 +347,29 @@ def hash_grid_encode(
             base = _hash_index(pos0, res, rows, cfg, dense)
             feats_all = jnp.take(packed, base, axis=0, mode="clip")
 
-        level_out = 0.0
         C = table.shape[-1]
+        if (not strided and cfg.temporal_dim == 0
+                and _use_scatter_kernel(C)):
+            # XOR-hash level on TPU: fused corner gather with a sorted
+            # Pallas scatter backward for the table gradient
+            lvl_table = jax.lax.dynamic_slice_in_dim(
+                table, offsets[lvl], rows, axis=0
+            )
+            idxs = jnp.stack([
+                _hash_index(pos0 + corner_offsets[c], res, rows, cfg, dense)
+                for c in range(n_corners)
+            ])
+            ws = jnp.stack([
+                jnp.prod(
+                    jnp.where(corner_offsets[c][None, :] == 1,
+                              frac, 1.0 - frac), axis=-1
+                )
+                for c in range(n_corners)
+            ])
+            outputs.append(_hash_level_apply(lvl_table, idxs, ws))
+            continue
+
+        level_out = 0.0
         for c in range(n_corners):
             off = corner_offsets[c]
             if strided:

@@ -806,6 +806,152 @@ def packed_bilerp_bwd(g_sorted, idx_sorted, tx, ty, *, r: int, tr: int = 1024,
     )[0]
 
 
+def _scatter_kernel(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
+                    c: int):
+    """Plain sorted scatter-add (no bilerp weights): one update of ``c``
+    channels per point into a row-packed [lines, 128] accumulator
+    (g_pack = 128 // c table rows per line).  Same stripe/one-hot-matmul
+    structure as _bwd_kernel."""
+    out_ref = refs[0]
+    s_meta, s_g, sems, gsems = refs[1:]
+    b = pl.program_id(0)
+    nbuf = s_meta.shape[0]
+    g_pack = LANES // c
+    shift = g_pack.bit_length() - 1
+    assert 1 << shift == g_pack
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    lane_o = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    tilers = [
+        (lane_i - j * c == lane_o % c).astype(jnp.bfloat16)
+        for j in range(SUB)
+    ]
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    lane_grp = lane1 // c
+
+    def meta_cp(sc_row, slot):
+        return pltpu.make_async_copy(meta_ref.at[sc_row], s_meta.at[slot],
+                                     sems.at[slot])
+
+    def g_cp(sc_row, slot):
+        return pltpu.make_async_copy(g_ref.at[sc_row], s_g.at[slot],
+                                     gsems.at[slot])
+
+    for g in range(group):
+        t = b * group + g
+        start = ts_ref[t]
+        end = ts_ref[t + 1]
+        r0 = start // SC
+        n = jnp.maximum((end + SC - 1) // SC - r0, 0)
+        base = t * tr
+
+        out_ref[g * tr:(g + 1) * tr] = jnp.zeros((tr, LANES), jnp.float32)
+
+        for q in range(nbuf - 1):
+            @pl.when(q < n)
+            def _():
+                meta_cp(r0 + q, q).start()
+                g_cp(r0 + q, q).start()
+
+        def body(k, _):
+            slot = jax.lax.rem(k, nbuf)
+
+            @pl.when(k + nbuf - 1 < n)
+            def _():
+                nslot = jax.lax.rem(k + nbuf - 1, nbuf)
+                meta_cp(r0 + k + nbuf - 1, nslot).start()
+                g_cp(r0 + k + nbuf - 1, nslot).start()
+
+            meta_cp(r0 + k, slot).wait()
+            g_cp(r0 + k, slot).wait()
+            blk = s_meta[slot]
+            g_blk = s_g[slot]                                 # [CHUNK, LANES]
+            ohs, gws = [], []
+            for j in range(SUB):
+                idx = blk[j].astype(jnp.int32)[:, None]
+                d2 = (idx >> shift) - base
+                ohs.append((d2 == jax.lax.broadcasted_iota(
+                    jnp.int32, (CHUNK, tr), 1)).astype(jnp.bfloat16))
+                g_tile = jnp.dot(g_blk, tilers[j],
+                                 preferred_element_type=jnp.float32)
+                gws.append(jnp.where(
+                    lane_grp == (idx & (g_pack - 1)), g_tile, 0.0
+                ).astype(jnp.bfloat16))
+            oh = jnp.concatenate(ohs, axis=0)                 # [SC, tr]
+            gw = jnp.concatenate(gws, axis=0)                 # [SC, LANES]
+            out_ref[g * tr:(g + 1) * tr] += jax.lax.dot_general(
+                oh, gw,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("r", "c", "tr", "group", "interpret"))
+def sorted_scatter_add(g_sorted, idx_sorted, *, r: int, c: int,
+                       tr: int = 1024, group: int = 4,
+                       interpret: bool = False):
+    """Scatter-add ``g_sorted`` [M, c] into a [r, c] table at SORTED
+    row indices (nondecreasing) — the hash-table gradient primitive.
+
+    XLA's scatter-add serializes colliding updates (~80 ns/update into a
+    narrow [R, 2] table); here each stripe of table rows accumulates its
+    contiguous run of sorted updates with one-hot matmuls in VMEM.
+    ``c`` must divide 128; g_pack = 128 // c table rows share a 128-lane
+    accumulator line and the result is a pure reshape.
+
+    Args:
+        g_sorted: [M, c] updates, any float dtype (accumulated f32).
+        idx_sorted: [M] int32 row indices in [0, r), nondecreasing.
+    Returns:
+        [r, c] f32 accumulated table.
+    """
+    m = idx_sorted.shape[0]
+    g_pack = LANES // c
+    lines = -(-r // g_pack)
+    r_pad, grid = _grid_shape(lines, tr, group)
+    tg = tr * group
+    pad = (-m) % SC + SC
+    meta = _rows(idx_sorted, float((r_pad + 1) * g_pack), pad)
+    s_rows = meta.shape[0]
+    gb = pack_features(g_sorted.astype(jnp.bfloat16), s_rows)
+    if SUB * c < LANES:
+        gb = jnp.concatenate(
+            [gb, jnp.zeros(gb.shape[:2] + (LANES - SUB * c,), gb.dtype)],
+            axis=-1,
+        )
+    lines_sorted = jax.lax.shift_right_logical(
+        idx_sorted, g_pack.bit_length() - 1
+    )
+    ts = tile_starts(lines_sorted, r_pad, tr)
+
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel, tr=tr, group=group, c=c),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),            # meta blocks
+                pl.BlockSpec(memory_space=pl.ANY),            # g blocks
+            ],
+            out_specs=pl.BlockSpec((tg, LANES), lambda b, ts: (b, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((BWD_NBUF, SUB, CHUNK), jnp.float32),
+                pltpu.VMEM((BWD_NBUF, CHUNK, CHUNK), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((BWD_NBUF,)),
+                pltpu.SemaphoreType.DMA((BWD_NBUF,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((r_pad, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(ts, meta, gb)
+    return out[:lines].reshape(lines * g_pack, c)[:r]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("h", "w", "tr", "group", "interpret"))
 def bilerp_bwd_group_fold(gs, rowids, txs, ty, *, h: int, w: int,

@@ -160,3 +160,64 @@ def test_octpack_matches_per_corner_gathers():
         np.asarray(g_fast["embeddings"]), np.asarray(g_ref["embeddings"]),
         atol=1e-5,
     )
+
+
+def test_sorted_scatter_add_matches_oracle():
+    """The Pallas sorted scatter-add == jnp .at[].add (colliding and
+    out-of-range-free indices, narrow c=2 rows, row-packed lines)."""
+    from soccernerfs_tpu.ops.pallas import plane_kernels as pk
+
+    rng = np.random.default_rng(11)
+    r, m, c = 5000, 4321, 2
+    idx = np.sort(rng.integers(0, r, m).astype(np.int32))
+    g = rng.standard_normal((m, c)).astype(np.float32)
+    got = pk.sorted_scatter_add(
+        jnp.asarray(g), jnp.asarray(idx), r=r, c=c, tr=16, group=3,
+        interpret=True,
+    )
+    ref = jnp.zeros((r, c), jnp.float32).at[jnp.asarray(idx)].add(
+        jnp.asarray(g).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    s = np.abs(np.asarray(ref)).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(got) / s, np.asarray(ref) / s, atol=2e-2
+    )
+
+
+def test_hash_level_scatter_vjp_matches_xla(monkeypatch):
+    """hash_grid_encode with the Pallas scatter backward (interpret mode)
+    == the pure-XLA path for values, table grads, AND position grads."""
+    import soccernerfs_tpu.ops.hash_grid as hg
+
+    cfg = HashGridConfig(
+        num_levels=4, level_dim=2, base_resolution=8, per_level_scale=2.0,
+        log2_hashmap_size=8,  # forces XOR-hash levels
+    )
+    params = init_hash_grid(jax.random.PRNGKey(5), cfg, std=0.5)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0, 1, (150, 3)).astype(np.float32))
+    cot_shape = (150, cfg.num_levels * cfg.level_dim)
+    cot = jnp.asarray(rng.standard_normal(cot_shape, dtype=np.float32))
+
+    def loss(p, x):
+        return jnp.vdot(hash_grid_encode(cfg, p, x), cot)
+
+    out_ref = hash_grid_encode(cfg, params, x)
+    g_ref, gx_ref = jax.grad(loss, argnums=(0, 1))(params, x)
+
+    monkeypatch.setattr(hg, "SCATTER_INTERPRET", True)
+    out_new = hash_grid_encode(cfg, params, x)
+    g_new, gx_new = jax.grad(loss, argnums=(0, 1))(params, x)
+
+    np.testing.assert_allclose(
+        np.asarray(out_new), np.asarray(out_ref), atol=1e-6
+    )
+    s = np.abs(np.asarray(g_ref["embeddings"])).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(g_new["embeddings"]) / s,
+        np.asarray(g_ref["embeddings"]) / s, atol=2e-2,
+    )
+    sx = np.abs(np.asarray(gx_ref)).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(gx_new) / sx, np.asarray(gx_ref) / sx, atol=2e-2
+    )
