@@ -220,7 +220,7 @@ def _use_scatter_kernel(C: int) -> bool:
     updates (~80 ns/update into the narrow [R, 2] tables — 5 of the 6
     hash levels cost ~256 ms EACH at nerfacto scale, PERF.md)."""
     return (
-        128 % C == 0
+        (C == 128 or (C <= 32 and 128 % C == 0))
         and (SCATTER_INTERPRET or jax.default_backend() == "tpu")
     )
 
@@ -249,34 +249,115 @@ def _hash_level_apply(lvl_table, idxs, ws):
         return out
 
     def op_fwd(lvl_table, idxs, ws):
-        feats = jnp.stack(
-            [jnp.take(lvl_table, idxs[k], axis=0, mode="clip")
-             for k in range(idxs.shape[0])]
-        )  # [K, B, C] — saved so the ws cotangent needs no re-gather
-        out = jnp.einsum("kb,kbc->bc", ws, feats)
-        return out, (idxs, ws, feats)
+        # residuals stay O(table + inputs): corner features are
+        # RE-GATHERED per corner in the backward — saving [K, B, C]
+        # stacks for every level at once blows HBM at NGP sample counts
+        return op(lvl_table, idxs, ws), (lvl_table, idxs, ws)
 
     def op_bwd(res, g):
         from soccernerfs_tpu.ops.pallas import plane_kernels as pk
 
-        idxs, ws, feats = res
+        lvl_table, idxs, ws = res
         K, B = idxs.shape
-        C = feats.shape[-1]
-        gw = (ws[:, :, None] * g[None]).reshape(K * B, C)
-        srt = jax.lax.sort(
-            (idxs.reshape(K * B), *(gw[:, ch] for ch in range(C))),
-            num_keys=1,
-        )
-        d_table = pk.sorted_scatter_add(
-            jnp.stack(srt[1:], axis=-1), srt[0], r=rows, c=C,
-            interpret=SCATTER_INTERPRET,
-        )
-        d_ws = jnp.einsum("bc,kbc->kb", g, feats)
+        C = lvl_table.shape[-1]
+        d_table = jnp.zeros((rows, C), jnp.float32)
+        d_ws = []
+        iota = jnp.arange(B, dtype=jnp.int32)
+        for k in range(K):
+            feats_k = jnp.take(lvl_table, idxs[k], axis=0, mode="clip")
+            d_ws.append(jnp.einsum("bc,bc->b", g, feats_k))
+            gw_k = ws[k][:, None] * g                         # [B, C]
+            idx_s, perm = jax.lax.sort((idxs[k], iota), num_keys=1)
+            gw_s = jnp.take(gw_k, perm, axis=0, mode="clip")
+            d_table = d_table + pk.sorted_scatter_add(
+                gw_s, idx_s, r=rows, c=C, interpret=SCATTER_INTERPRET,
+            )
         zero_i = np.zeros(idxs.shape, dtype=jax.dtypes.float0)
-        return d_table.astype(lvl_table.dtype), zero_i, d_ws
+        return d_table.astype(lvl_table.dtype), zero_i, jnp.stack(d_ws)
 
     op.defvjp(op_fwd, op_bwd)
     return op(lvl_table, idxs, ws)
+
+
+def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
+    """Temporal sliding-window variant of _hash_level_apply: per corner,
+    gather [B, row_channels] rows, interpolate the two active temporal
+    channels, weight and sum — with the sorted-scatter backward for the
+    table gradient (channels padded to a power of two for row-packing).
+
+    Args:
+        lvl_table: [rows, C_row] f32; idxs: [K, B] int32 local rows.
+        ws: [K, B] f32 corner weights (grad -> positions).
+        ch_a/ch_b: [B, L] int32 channel picks; w_a/w_b: [B, L] f32
+            temporal weights (grad -> time).
+    Returns:
+        [B, L] f32.
+    """
+    rows, c_row = lvl_table.shape
+    c_pad = 1 << (c_row - 1).bit_length()
+    if 32 < c_pad < 128:
+        c_pad = 128  # the kernel row-packs c<=32 or full 128-lane lines
+
+    @jax.custom_vjp
+    def op(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
+        # bf16 row gathers (f32 weights promote the lerp back to f32):
+        # halves the dominant [B, row_channels] streams — at NGP sample
+        # counts (2M points) these are the step's biggest buffers
+        t16 = lvl_table.astype(jnp.bfloat16)
+        out = 0.0
+        for k in range(idxs.shape[0]):
+            feats = jnp.take(t16, idxs[k], axis=0, mode="clip")
+            fa = jnp.take_along_axis(feats, ch_a, axis=-1)
+            fb = jnp.take_along_axis(feats, ch_b, axis=-1)
+            out = out + ws[k][:, None] * (w_a * fa + w_b * fb)
+        return out
+
+    def op_fwd(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
+        # O(inputs) residuals only — corner features are re-gathered per
+        # corner in the backward (see _hash_level_apply)
+        return (op(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b),
+                (lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b))
+
+    def op_bwd(res, g):
+        from soccernerfs_tpu.ops.pallas import plane_kernels as pk
+
+        lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b = res
+        K, B = idxs.shape
+        ch_iota = jnp.arange(c_row, dtype=ch_a.dtype)
+        oh_a = (ch_a[..., None] == ch_iota).astype(g.dtype)   # [B, L, C]
+        oh_b = (ch_b[..., None] == ch_iota).astype(g.dtype)
+        d_table = jnp.zeros((rows, c_row), jnp.float32)
+        d_wa = 0.0
+        d_wb = 0.0
+        d_ws = []
+        iota = jnp.arange(B, dtype=jnp.int32)
+        t16 = lvl_table.astype(jnp.bfloat16)
+        for k in range(K):
+            feats_k = jnp.take(t16, idxs[k], axis=0, mode="clip")
+            fa = jnp.take_along_axis(feats_k, ch_a, axis=-1)  # [B, L]
+            fb = jnp.take_along_axis(feats_k, ch_b, axis=-1)
+            d_interp = ws[k][:, None] * g                     # [B, L]
+            d_wa = d_wa + fa * d_interp
+            d_wb = d_wb + fb * d_interp
+            d_ws.append(jnp.einsum("bl,bl->b", g, w_a * fa + w_b * fb))
+            d_feats = (
+                jnp.einsum("bl,blc->bc", d_interp * w_a, oh_a)
+                + jnp.einsum("bl,blc->bc", d_interp * w_b, oh_b)
+            )
+            if c_pad > c_row:
+                d_feats = jnp.pad(d_feats, ((0, 0), (0, c_pad - c_row)))
+            idx_s, perm = jax.lax.sort((idxs[k], iota), num_keys=1)
+            gw_s = jnp.take(d_feats, perm, axis=0, mode="clip")
+            d_table = d_table + pk.sorted_scatter_add(
+                gw_s, idx_s, r=rows, c=c_pad, interpret=SCATTER_INTERPRET,
+            )[:, :c_row]
+        zi = np.zeros(idxs.shape, dtype=jax.dtypes.float0)
+        zc = np.zeros(ch_a.shape, dtype=jax.dtypes.float0)
+        return (d_table.astype(lvl_table.dtype), zi, jnp.stack(d_ws),
+                zc, d_wa, zc, d_wb)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b)
 
 
 def hash_grid_encode(
@@ -322,8 +403,14 @@ def hash_grid_encode(
         frac = pos - pos0
         pos0 = pos0.astype(jnp.int32)
 
+        C = table.shape[-1]
+        # temporal rows pad channels to a power of two for the kernel's
+        # row-packing; plain rows must divide 128 as-is
+        c_eff = (1 << (C - 1).bit_length()) if cfg.temporal_dim > 0 else C
+        temporal_kernel = cfg.temporal_dim > 0 and _use_scatter_kernel(c_eff)
+
         feats_all = None
-        if strided:
+        if strided and not temporal_kernel:
             # OCT-PACK: stride indexing is linear in the lattice coords, so
             # corner c's row is (base + delta_c) % rows — pre-rolling the
             # level table by each delta lets ONE gather fetch all 2^D
@@ -347,11 +434,12 @@ def hash_grid_encode(
             base = _hash_index(pos0, res, rows, cfg, dense)
             feats_all = jnp.take(packed, base, axis=0, mode="clip")
 
-        C = table.shape[-1]
-        if (not strided and cfg.temporal_dim == 0
-                and _use_scatter_kernel(C)):
-            # XOR-hash level on TPU: fused corner gather with a sorted
-            # Pallas scatter backward for the table gradient
+        if temporal_kernel or (not strided and _use_scatter_kernel(c_eff)):
+            # TPU: fused corner gather with a sorted Pallas scatter
+            # backward for the table gradient.  TEMPORAL grids route ALL
+            # levels here: oct-packing their wide rows materializes a
+            # [B, 2^D * row_channels] monster (5 GB at NGP sample counts)
+            # and the per-corner XLA fallback scatter-add serializes
             lvl_table = jax.lax.dynamic_slice_in_dim(
                 table, offsets[lvl], rows, axis=0
             )
@@ -366,8 +454,14 @@ def hash_grid_encode(
                 )
                 for c in range(n_corners)
             ])
-            outputs.append(_hash_level_apply(lvl_table, idxs, ws))
+            if cfg.temporal_dim > 0:
+                outputs.append(_hash_level_apply_temporal(
+                    lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b
+                ))
+            else:
+                outputs.append(_hash_level_apply(lvl_table, idxs, ws))
             continue
+
 
         level_out = 0.0
         for c in range(n_corners):

@@ -810,8 +810,9 @@ def _scatter_kernel(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
                     c: int):
     """Plain sorted scatter-add (no bilerp weights): one update of ``c``
     channels per point into a row-packed [lines, 128] accumulator
-    (g_pack = 128 // c table rows per line).  Same stripe/one-hot-matmul
-    structure as _bwd_kernel."""
+    (g_pack = 128 // c table rows per line; g_pack == 1 means each update
+    row IS a full 128-lane line and needs no spread/placement).  Same
+    stripe/one-hot-matmul structure as _bwd_kernel."""
     out_ref = refs[0]
     s_meta, s_g, sems, gsems = refs[1:]
     b = pl.program_id(0)
@@ -820,14 +821,15 @@ def _scatter_kernel(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
     shift = g_pack.bit_length() - 1
     assert 1 << shift == g_pack
 
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-    lane_o = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-    tilers = [
-        (lane_i - j * c == lane_o % c).astype(jnp.bfloat16)
-        for j in range(SUB)
-    ]
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    lane_grp = lane1 // c
+    if g_pack > 1:
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        lane_o = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        tilers = [
+            (lane_i - j * c == lane_o % c).astype(jnp.bfloat16)
+            for j in range(SUB)
+        ]
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        lane_grp = lane1 // c
 
     def meta_cp(sc_row, slot):
         return pltpu.make_async_copy(meta_ref.at[sc_row], s_meta.at[slot],
@@ -865,18 +867,22 @@ def _scatter_kernel(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
             meta_cp(r0 + k, slot).wait()
             g_cp(r0 + k, slot).wait()
             blk = s_meta[slot]
-            g_blk = s_g[slot]                                 # [CHUNK, LANES]
+            g_blk = s_g[slot]
             ohs, gws = [], []
             for j in range(SUB):
                 idx = blk[j].astype(jnp.int32)[:, None]
                 d2 = (idx >> shift) - base
                 ohs.append((d2 == jax.lax.broadcasted_iota(
                     jnp.int32, (CHUNK, tr), 1)).astype(jnp.bfloat16))
-                g_tile = jnp.dot(g_blk, tilers[j],
-                                 preferred_element_type=jnp.float32)
-                gws.append(jnp.where(
-                    lane_grp == (idx & (g_pack - 1)), g_tile, 0.0
-                ).astype(jnp.bfloat16))
+                if g_pack == 1:
+                    # full-line updates: g rows are already in place
+                    gws.append(g_blk[j * CHUNK:(j + 1) * CHUNK])
+                else:
+                    g_tile = jnp.dot(g_blk, tilers[j],
+                                     preferred_element_type=jnp.float32)
+                    gws.append(jnp.where(
+                        lane_grp == (idx & (g_pack - 1)), g_tile, 0.0
+                    ).astype(jnp.bfloat16))
             oh = jnp.concatenate(ohs, axis=0)                 # [SC, tr]
             gw = jnp.concatenate(gws, axis=0)                 # [SC, LANES]
             out_ref[g * tr:(g + 1) * tr] += jax.lax.dot_general(
@@ -909,6 +915,10 @@ def sorted_scatter_add(g_sorted, idx_sorted, *, r: int, c: int,
     Returns:
         [r, c] f32 accumulated table.
     """
+    assert c == LANES or SUB * c <= LANES, (
+        f"c={c}: channel counts in (32, 128) are not supported — pad to 128"
+    )
+    assert r < (1 << 24), "row indices ride f32 meta; r must stay < 2^24"
     m = idx_sorted.shape[0]
     g_pack = LANES // c
     lines = -(-r // g_pack)
@@ -917,12 +927,18 @@ def sorted_scatter_add(g_sorted, idx_sorted, *, r: int, c: int,
     pad = (-m) % SC + SC
     meta = _rows(idx_sorted, float((r_pad + 1) * g_pack), pad)
     s_rows = meta.shape[0]
-    gb = pack_features(g_sorted.astype(jnp.bfloat16), s_rows)
-    if SUB * c < LANES:
-        gb = jnp.concatenate(
-            [gb, jnp.zeros(gb.shape[:2] + (LANES - SUB * c,), gb.dtype)],
-            axis=-1,
-        )
+    if g_pack == 1:
+        # full-line updates: [m, 128] rows are the accumulator layout
+        # already — a pure reshape, no point-in-lane transpose
+        gb = _pad_rows(g_sorted.astype(jnp.bfloat16), s_rows * SC)
+        gb = gb.reshape(s_rows, SC, LANES)
+    else:
+        gb = pack_features(g_sorted.astype(jnp.bfloat16), s_rows)
+        if SUB * c < LANES:
+            gb = jnp.concatenate(
+                [gb, jnp.zeros(gb.shape[:2] + (LANES - SUB * c,), gb.dtype)],
+                axis=-1,
+            )
     lines_sorted = jax.lax.shift_right_logical(
         idx_sorted, g_pack.bit_length() - 1
     )
@@ -940,7 +956,10 @@ def sorted_scatter_add(g_sorted, idx_sorted, *, r: int, c: int,
             out_specs=pl.BlockSpec((tg, LANES), lambda b, ts: (b, 0)),
             scratch_shapes=[
                 pltpu.VMEM((BWD_NBUF, SUB, CHUNK), jnp.float32),
-                pltpu.VMEM((BWD_NBUF, CHUNK, CHUNK), jnp.bfloat16),
+                pltpu.VMEM(
+                    (BWD_NBUF, SC if c == LANES else CHUNK, CHUNK),
+                    jnp.bfloat16,
+                ),
                 pltpu.SemaphoreType.DMA((BWD_NBUF,)),
                 pltpu.SemaphoreType.DMA((BWD_NBUF,)),
             ],

@@ -221,3 +221,70 @@ def test_hash_level_scatter_vjp_matches_xla(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(gx_new) / sx, np.asarray(gx_ref) / sx, atol=2e-2
     )
+
+
+def test_temporal_hash_scatter_vjp_matches_xla(monkeypatch):
+    """Temporal (sliding-window) hash levels through the Pallas scatter
+    backward == pure-XLA: values, table grads, position grads, and TIME
+    grads (via the temporal channel weights)."""
+    import soccernerfs_tpu.ops.hash_grid as hg
+
+    cfg = HashGridConfig(
+        temporal_dim=8, num_levels=3, level_dim=2, base_resolution=8,
+        per_level_scale=2.0, log2_hashmap_size=8,
+    )
+    params = init_hash_grid(jax.random.PRNGKey(9), cfg, std=0.5)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.uniform(0, 1, (120, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0.1, 0.9, (120,)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal(
+        (120, cfg.num_levels * cfg.level_dim), dtype=np.float32))
+
+    def loss(p, x, t):
+        return jnp.vdot(hash_grid_encode(cfg, p, x, t), cot)
+
+    out_ref = hash_grid_encode(cfg, params, x, t)
+    g_ref, gx_ref, gt_ref = jax.grad(loss, argnums=(0, 1, 2))(params, x, t)
+
+    monkeypatch.setattr(hg, "SCATTER_INTERPRET", True)
+    out_new = hash_grid_encode(cfg, params, x, t)
+    g_new, gx_new, gt_new = jax.grad(loss, argnums=(0, 1, 2))(params, x, t)
+
+    # the kernel path gathers rows in bf16 (f32 lerp): compare at bf16
+    # resolution
+    so = np.abs(np.asarray(out_ref)).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(out_new) / so,
+                               np.asarray(out_ref) / so, atol=1e-2)
+    for a, b in [(g_new["embeddings"], g_ref["embeddings"]),
+                 (gx_new, gx_ref), (gt_new, gt_ref)]:
+        s = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=2e-2)
+
+
+def test_temporal_wide_rows_full_line_scatter(monkeypatch):
+    """Wide temporal rows (row_channels in (32, 128]) pad to full
+    128-lane lines (g_pack == 1 kernel path)."""
+    import soccernerfs_tpu.ops.hash_grid as hg
+
+    cfg = HashGridConfig(
+        temporal_dim=40, num_levels=2, level_dim=2, base_resolution=8,
+        per_level_scale=2.0, log2_hashmap_size=7,
+    )
+    params = init_hash_grid(jax.random.PRNGKey(15), cfg, std=0.5)
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.uniform(0, 1, (90, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0.1, 0.9, (90,)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((90, 4), dtype=np.float32))
+
+    def loss(p):
+        return jnp.vdot(hash_grid_encode(cfg, p, x, t), cot)
+
+    g_ref = jax.grad(loss)(params)
+    monkeypatch.setattr(hg, "SCATTER_INTERPRET", True)
+    g_new = jax.grad(loss)(params)
+    s = np.abs(np.asarray(g_ref["embeddings"])).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(g_new["embeddings"]) / s,
+        np.asarray(g_ref["embeddings"]) / s, atol=2e-2,
+    )
