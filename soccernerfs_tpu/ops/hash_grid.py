@@ -212,6 +212,9 @@ def _hash_index(coords: jnp.ndarray, resolution: int, rows: int, cfg, dense: boo
 
 # flip in tests to run the Pallas scatter in interpreter mode on CPU
 SCATTER_INTERPRET = False
+# per-level corner-feature residual budget: below this, the backward
+# reuses saved features; above it, it re-gathers (see _hash_level_apply)
+_RESIDUAL_BYTES_CAP = 64 * 1024 * 1024
 
 
 def _use_scatter_kernel(C: int) -> bool:
@@ -248,18 +251,46 @@ def _hash_level_apply(lvl_table, idxs, ws):
             )
         return out
 
+    # residual policy (static at trace time): saving the [K, B, C]
+    # corner-feature stack makes the ws cotangent free, but at NGP
+    # sample counts the stacks for all levels together blow HBM — large
+    # levels RE-GATHER per corner in the backward instead
+    K, B = idxs.shape
+    save_feats = K * B * lvl_table.shape[-1] * 4 <= _RESIDUAL_BYTES_CAP
+
     def op_fwd(lvl_table, idxs, ws):
-        # residuals stay O(table + inputs): corner features are
-        # RE-GATHERED per corner in the backward — saving [K, B, C]
-        # stacks for every level at once blows HBM at NGP sample counts
-        return op(lvl_table, idxs, ws), (lvl_table, idxs, ws)
+        if save_feats:
+            feats = jnp.stack([
+                jnp.take(lvl_table, idxs[k], axis=0, mode="clip")
+                for k in range(idxs.shape[0])
+            ])
+            out = jnp.einsum("kb,kbc->bc", ws, feats)
+        else:
+            out = op(lvl_table, idxs, ws)
+            feats = None
+        return out, (lvl_table, idxs, ws, feats)
 
     def op_bwd(res, g):
         from soccernerfs_tpu.ops.pallas import plane_kernels as pk
 
-        lvl_table, idxs, ws = res
-        K, B = idxs.shape
+        lvl_table, idxs, ws, feats = res
         C = lvl_table.shape[-1]
+        zero_i = np.zeros(idxs.shape, dtype=jax.dtypes.float0)
+        if feats is not None:
+            # small level: ONE merged sort (gradients ride sort operands)
+            # and one kernel pass over all corners
+            d_ws = jnp.einsum("bc,kbc->kb", g, feats)
+            gw = (ws[:, :, None] * g[None]).reshape(K * B, C)
+            srt = jax.lax.sort(
+                (idxs.reshape(K * B), *(gw[:, ch] for ch in range(C))),
+                num_keys=1,
+            )
+            d_table = pk.sorted_scatter_add(
+                jnp.stack(srt[1:], axis=-1), srt[0], r=rows, c=C,
+                interpret=SCATTER_INTERPRET,
+            )
+            return d_table.astype(lvl_table.dtype), zero_i, d_ws
+        # big level: bound peak memory — re-gather and scatter per corner
         d_table = jnp.zeros((rows, C), jnp.float32)
         d_ws = []
         iota = jnp.arange(B, dtype=jnp.int32)
@@ -272,8 +303,8 @@ def _hash_level_apply(lvl_table, idxs, ws):
             d_table = d_table + pk.sorted_scatter_add(
                 gw_s, idx_s, r=rows, c=C, interpret=SCATTER_INTERPRET,
             )
-        zero_i = np.zeros(idxs.shape, dtype=jax.dtypes.float0)
-        return d_table.astype(lvl_table.dtype), zero_i, jnp.stack(d_ws)
+        return (d_table.astype(lvl_table.dtype), zero_i,
+                jnp.stack(d_ws))
 
     op.defvjp(op_fwd, op_bwd)
     return op(lvl_table, idxs, ws)
