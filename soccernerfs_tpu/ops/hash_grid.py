@@ -14,10 +14,15 @@ Design notes (vs the CUDA kernels):
   * spatial hashing uses the torch-ngp prime XOR hash
     (temporal_gridencoder.cu:47-61) with modulo table size; levels whose
     dense grid fits use direct (tiled) indexing;
-  * corner gathers are jnp.take rows (contiguous channels last) — the
-    Pallas fused variant lives in ops/pallas/;
-  * gradients flow through jnp.take's transpose (segment-sum scatter),
-    replacing the CUDA atomicAdd backward (temporal_gridencoder.cu:284).
+  * dense/tiled levels OCT-PACK: stride indexing is linear, so one
+    gather of a corner-rolled [rows, 2^D * C] table fetches all corners;
+  * XOR-hash levels (and every level of TEMPORAL grids) gather per
+    corner with a custom VJP whose table gradient sorts updates by hash
+    row and runs the Pallas sorted_scatter_add kernel — replacing both
+    the CUDA atomicAdd backward (temporal_gridencoder.cu:284) and XLA's
+    serializing scatter-add (~80 ns/update, PERF.md);
+  * on CPU (and for unsupported channel widths) gradients flow through
+    jnp.take's transpose, which is also the tests' oracle.
 """
 from __future__ import annotations
 
