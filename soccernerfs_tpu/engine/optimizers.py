@@ -36,9 +36,13 @@ class AdamOptimizerConfig:
     weight_decay: float = 0.0
     max_norm: Optional[float] = None
     kind: str = "adam"
-    # "bfloat16" halves Adam-moment HBM traffic (see scale_by_adam_lowp);
-    # None keeps optax f32 moments (bit-compatible with the reference)
+    # "bfloat16" cuts Adam-moment HBM traffic (see scale_by_adam_lowp);
+    # None keeps optax f32 moments (bit-compatible with the reference).
+    # nu storage stays f32 regardless: its 0.1%/step EMA decay is below
+    # the bf16 ulp and would stall (scale_by_adam_lowp docstring);
+    # set nu_moment_dtype="bfloat16" to override.
     moment_dtype: Optional[str] = None
+    nu_moment_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -53,17 +57,26 @@ def scale_by_adam_lowp(
     b2: float = 0.999,
     eps: float = 1e-8,
     moment_dtype=jnp.bfloat16,
+    nu_dtype=jnp.float32,
 ) -> optax.GradientTransformation:
     """Adam scaling with low-precision moment STORAGE (f32 compute).
 
     The K-Planes param tree is ~155M entries of feature-plane tables and
     the TV losses make every entry's gradient dense, so a train step moves
     params + grads + both Adam moments through HBM (~4 GB at f32 — ~14 ms
-    of a 165 ms step on v5e).  Storing mu/nu in bfloat16 halves the moment
+    of a 165 ms step on v5e).  Storing mu in bfloat16 cuts the moment
     traffic; all arithmetic (moment EMAs, bias correction, the update
     quotient) stays f32, so the only difference from optax.scale_by_adam
-    is a bf16 round of each moment between steps (~0.4% relative).  The
+    is a bf16 round of the moment between steps (~0.4% relative).  The
     fixture convergence run shows no PSNR change (PERF.md).
+
+    ``nu`` defaults to f32 storage: with b2=0.999 the per-step EMA decay
+    (0.1%) is BELOW bf16's ~0.39% ulp, so once nu is large and gradients
+    shrink, ``b2 * nu`` rounds back to nu and the second moment stalls
+    high, silently suppressing late-training updates (an EMA-stall the
+    short fixture runs cannot see).  mu's 10%/step decay is ~25x the bf16
+    ulp and does not stall.  Pass ``nu_dtype=jnp.bfloat16`` to accept the
+    risk and halve nu traffic too.
 
     Matches torch.optim.Adam's update (the reference optimizer,
     ref: engine/optimizers.py:55-62) like optax.scale_by_adam does.
@@ -76,7 +89,7 @@ def scale_by_adam_lowp(
                 lambda p: jnp.zeros(p.shape, moment_dtype), params
             ),
             nu=jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, moment_dtype), params
+                lambda p: jnp.zeros(p.shape, nu_dtype), params
             ),
         )
 
@@ -91,7 +104,7 @@ def scale_by_adam_lowp(
             mu_f = b1 * mu.astype(jnp.float32) + (1.0 - b1) * g
             nu_f = b2 * nu.astype(jnp.float32) + (1.0 - b2) * g * g
             upd = (mu_f / c1) / (jnp.sqrt(nu_f / c2) + eps)
-            return upd, mu_f.astype(moment_dtype), nu_f.astype(moment_dtype)
+            return upd, mu_f.astype(moment_dtype), nu_f.astype(nu_dtype)
 
         flat_g, treedef = jax.tree_util.tree_flatten(grads)
         flat_mu = treedef.flatten_up_to(state.mu)
@@ -137,6 +150,7 @@ def build_group_optimizer(
                 scale_by_adam_lowp(
                     eps=opt_cfg.eps,
                     moment_dtype=jnp.dtype(opt_cfg.moment_dtype),
+                    nu_dtype=jnp.dtype(opt_cfg.nu_moment_dtype),
                 )
             )
         else:

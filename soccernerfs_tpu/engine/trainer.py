@@ -99,10 +99,20 @@ class Trainer:
                 cam_rng, self.cam_opt_cfg, self.train_cameras.num_cameras
             )
             # pose gradients flow through sample positions: the sorted
-            # plane sampler (which detaches positions) must stand down
-            from soccernerfs_tpu.fields import kplanes as _kplanes_field
+            # plane sampler (which detaches positions) must stand down.
+            # Per-instance config replace — other Trainers in the process
+            # keep the fast path.
+            if getattr(self.model_cfg, "sorted_sampler", False):
+                import dataclasses
 
-            _kplanes_field.SORTED_SAMPLER_ALLOWED = False
+                self.model_cfg = dataclasses.replace(
+                    self.model_cfg, sorted_sampler=False
+                )
+                print(
+                    "[trainer] camera optimizer is on: disabling the sorted "
+                    "plane sampler (pose grads need sample positions) — "
+                    "expect a slower train step on TPU"
+                )
 
         opt_configs = dict(config.optimizers)
         if self.cam_opt_cfg.mode != "off" and "camera_opt" not in opt_configs:
@@ -234,15 +244,14 @@ class Trainer:
                 return loss, loss_dict, metrics, grads
 
             if n_dev > 1:
-                from jax.experimental.shard_map import shard_map
                 from jax.sharding import PartitionSpec as P
 
-                loss, loss_dict, metrics, grads = shard_map(
+                loss, loss_dict, metrics, grads = jax.shard_map(
                     local_grads,
                     mesh=mesh,
                     in_specs=(P(), P(meshlib.DATA_AXIS)),
                     out_specs=P(),
-                    check_rep=False,
+                    check_vma=False,
                 )(state.params, batch)
             else:
                 loss, loss_dict, metrics, grads = local_grads(state.params, batch)
@@ -285,6 +294,14 @@ class Trainer:
             return keep
 
         self._eval_forward = jax.jit(eval_forward, static_argnums=())
+
+        # render fast path: pack plane tables once per snapshot (models
+        # that define prepare_render_params), reused by every image chunk
+        self._prepare_render = (
+            jax.jit(functools.partial(model.prepare_render_params, model_cfg))
+            if hasattr(model, "prepare_render_params")
+            else None
+        )
 
         def eval_batch_step(params, batch, step):
             rays = generate_rays(self.eval_cameras, batch["cam_idx"], batch["coords"])
@@ -371,6 +388,8 @@ class Trainer:
         cam_idx = np.full((n_pad,), camera_index, np.int32)
 
         params, aux = self.snapshot_state()
+        if self._prepare_render is not None:
+            params = self._prepare_render(params)
         outs = []
         for i in range(0, n_pad, chunk):
             # dispatch all chunks without syncing; convert once at the end

@@ -41,6 +41,7 @@ from soccernerfs_tpu.ops.grid_sample import (
     permute_rows,
     plane_sample_fold_group,
     plane_sample_group_bwdsort,
+    plane_sample_packed_group,
     quad_pack,
     sample_plane_bilinear,
     sample_plane_bilinear_packed,
@@ -79,14 +80,6 @@ def init_plane_grids(
     return grids
 
 
-# Trace-time gate: the sorted path stop-gradients sample POSITIONS, which
-# is only sound when nothing upstream needs position gradients.  The
-# Trainer flips this to False when the camera optimizer is on
-# (engine/trainer.py) — pose gradients flow through ray origins/directions
-# into the plane coordinates.
-SORTED_SAMPLER_ALLOWED = True
-
-
 def _sampled_planes(pts_dim: int, n_planes: int):
     """(grid_index, (c1, c2)) pairs to sample for ``pts_dim`` coordinates.
 
@@ -102,16 +95,33 @@ def _sampled_planes(pts_dim: int, n_planes: int):
     ]
 
 
-def _use_sorted_sampler(ms_grids) -> bool:
+def _use_sorted_sampler(ms_grids, allowed: bool = True) -> bool:
     """The stripe-sorted Pallas-backward path needs 4F == 128, a TPU, and
     position gradients to be unnecessary (PDF bins are detached and the
-    camera optimizer is off — see SORTED_SAMPLER_ALLOWED)."""
+    camera optimizer is off — callers pass ``cfg.sorted_sampler``)."""
     feat = ms_grids[0][0].shape[-1]
     return (
-        SORTED_SAMPLER_ALLOWED
+        allowed
         and feat * 4 == 128
         and jax.default_backend() == "tpu"
     )
+
+
+def pack_grids_for_render(params: dict) -> dict:
+    """Quad-pack every plane table to bf16 ONCE per parameter snapshot.
+
+    Training repacks inside each step (the pack is fused into the step and
+    the f32 packed table never materializes), but whole-image rendering
+    calls the forward once PER CHUNK — repacking ~1.8 GB of tables per
+    chunk dominated eval throughput.  The packed copies ride the params
+    dict under ``grids_packed`` and the samplers pick them up
+    (ref metric: TEST_RAYS_PER_SEC, pipelines/base_pipeline.py:343-352).
+    """
+    packed = [
+        [quad_pack(g).astype(jnp.bfloat16) for g in grids]
+        for grids in params["grids"]
+    ]
+    return {**params, "grids_packed": packed}
 
 
 def canonical_sorted_features(
@@ -120,6 +130,7 @@ def canonical_sorted_features(
     concat_features: bool,
     freeze_time_planes: bool = False,
     freeze_space_planes: bool = False,
+    ms_packed=None,
 ):
     """TPU path: per-axis sorted sampling with Pallas scatter backward,
     returning features in a CANONICAL sorted order.
@@ -199,8 +210,9 @@ def canonical_sorted_features(
         # group's [M, S*F] partial product pays the alignment gather
         partial = [1.0] * n_scales
         for s, grids in enumerate(ms_grids):
-            sel_grids, rowids, txs = [], [], []
+            sel_grids, sel_packed, rowids, txs = [], [], [], []
             tyf = None
+            w = None
             for ci, c1 in members:
                 is_time_plane = has_time and 3 in (c1, c2)
                 grid = grids[ci]
@@ -210,14 +222,23 @@ def canonical_sorted_features(
                 xc, txf = grid_coords(s_pts[c1], w)
                 yc, tyf = grid_coords(s_pts[c2], h)
                 sel_grids.append(grid)
+                if ms_packed is not None:
+                    sel_packed.append(ms_packed[s][ci])
                 rowids.append(yc * w + xc)
                 txs.append(txf)
-            # one group kernel per scale: members share shape + stripe
-            # axis; the custom-VJP boundary sits at the [H, W, F] grids
-            # (bf16 pack forward, folded unpacked-gradient scatter back)
-            feats = plane_sample_fold_group(
-                sel_grids, rowids, txs, tyf, use_pallas_bwd=True
-            )
+            if ms_packed is not None:
+                # render path: tables were packed once per snapshot
+                # (pack_grids_for_render); no backward, no per-call pack
+                feats = plane_sample_packed_group(
+                    sel_packed, rowids, txs, tyf, w=w
+                )
+            else:
+                # one group kernel per scale: members share shape + stripe
+                # axis; the custom-VJP boundary sits at the [H, W, F] grids
+                # (bf16 pack forward, folded unpacked-gradient scatter back)
+                feats = plane_sample_fold_group(
+                    sel_grids, rowids, txs, tyf, use_pallas_bwd=True
+                )
             for fo in feats:
                 partial[s] = partial[s] * fo
         stacked = jnp.concatenate(partial, axis=-1)          # [M, S*F]
@@ -275,6 +296,7 @@ def interpolate_kplanes_bwdsorted(
     concat_features: bool,
     freeze_time_planes: bool = False,
     freeze_space_planes: bool = False,
+    ms_packed=None,
 ) -> jnp.ndarray:
     """TPU path for NARROW features (proposal fields, 4F < 128): forward
     stays the unsorted XLA gather (already at the small-table floor); the
@@ -307,7 +329,9 @@ def interpolate_kplanes_bwdsorted(
                 h, w, _f = grid.shape
                 xc, txf = grid_coords(pts[:, c1], w)
                 yc, tyf = grid_coords(pts[:, c2], h)
-                packeds.append(quad_pack(grid))
+                packeds.append(
+                    quad_pack(grid) if ms_packed is None else ms_packed[s][ci]
+                )
                 rowids.append(yc * w + xc)
                 txs.append(txf)
             feats = plane_sample_group_bwdsort(
@@ -331,6 +355,8 @@ def interpolate_kplanes(
     freeze_time_planes: bool = False,
     freeze_space_planes: bool = False,
     packed: bool = True,
+    sorted_ok: bool = True,
+    ms_packed=None,
 ) -> jnp.ndarray:
     """Query multiscale planes: per-plane bilinear sample, Hadamard product
     over planes, concat/sum over scales (ref: kplanes_field.py:77-126).
@@ -341,10 +367,12 @@ def interpolate_kplanes(
     Args:
         pts: [M, 3] or [M, 4] normalized coordinates in [-1, 1].
         ms_grids: list (scales) of lists (planes) of [H, W, F] arrays.
+        sorted_ok: position gradients are NOT needed (no camera optimizer)
+            so the sorted paths — which stop-gradient positions — are sound.
     Returns:
         [M, F * num_scales] if concat else [M, F].
     """
-    if packed and _use_sorted_sampler(ms_grids):
+    if packed and _use_sorted_sampler(ms_grids, sorted_ok):
         return interpolate_kplanes_sorted(
             pts, ms_grids, concat_features,
             freeze_time_planes=freeze_time_planes,
@@ -353,7 +381,7 @@ def interpolate_kplanes(
     feat = ms_grids[0][0].shape[-1]
     if (
         packed
-        and SORTED_SAMPLER_ALLOWED
+        and sorted_ok
         and feat * 4 == 32
         and jax.default_backend() == "tpu"
         and all(g.shape[1] % 4 == 0 for g in ms_grids[0])
@@ -362,6 +390,7 @@ def interpolate_kplanes(
             pts, ms_grids, concat_features,
             freeze_time_planes=freeze_time_planes,
             freeze_space_planes=freeze_space_planes,
+            ms_packed=ms_packed,
         )
     has_time = pts.shape[-1] == 4
     sampler = sample_plane_bilinear_packed if packed else sample_plane_bilinear
@@ -410,6 +439,10 @@ class KPlanesFieldConfig:
     freeze_space_planes: bool = False
     geo_feat_dim: int = 15
     sh_degree: int = 4
+    # The sorted sampler detaches sample POSITIONS — sound only when no
+    # position gradients are needed.  The Trainer sets this False when the
+    # camera optimizer is on (pose grads flow through plane coordinates).
+    sorted_sampler: bool = True
 
     @property
     def has_time_planes(self) -> bool:
@@ -527,6 +560,7 @@ def kplanes_density(
         concat_features=cfg.concat_features_across_scales,
         freeze_time_planes=cfg.freeze_time_planes,
         freeze_space_planes=cfg.freeze_space_planes,
+        sorted_ok=cfg.sorted_sampler,
     )
     if cfg.linear_decoder:
         density_before = mlp_apply(
@@ -613,8 +647,10 @@ def kplanes_field_forward(
     Hadamard, sigma net, color net — runs in the CANONICAL sorted order
     (canonical_sorted_features) and only the final pre-activation
     [density, rgb] block ([M, 4]: one lane-tile) is permuted back to ray
-    order, instead of three [M, S*F] group partials.  Values are exactly
-    the separate-call path's (permutation commutes with row-wise ops).
+    order, instead of three [M, S*F] group partials.  Values equal the
+    separate-call path's up to bf16 rounding: permutation commutes with
+    row-wise ops, but this path skips the bf16 feature-permute round that
+    interpolate_kplanes_sorted applies (tests compare at bf16 atol).
 
     Args:
         positions: [M, 3] world; directions: [M, 3] unit (per sample);
@@ -622,7 +658,7 @@ def kplanes_field_forward(
     Returns:
         (density [M], rgb [M, 3]).
     """
-    if not _use_sorted_sampler(params["grids"]):
+    if not _use_sorted_sampler(params["grids"], cfg.sorted_sampler):
         density, features = kplanes_density(cfg, params, aabb, positions, times)
         return density, kplanes_rgb(
             cfg, params, features, directions, camera_indices, train=train
@@ -636,6 +672,7 @@ def kplanes_field_forward(
         concat_features=cfg.concat_features_across_scales,
         freeze_time_planes=cfg.freeze_time_planes,
         freeze_space_planes=cfg.freeze_space_planes,
+        ms_packed=params.get("grids_packed") if not train else None,
     )
 
     if cfg.linear_decoder:
@@ -719,6 +756,8 @@ class KPlanesDensityFieldConfig:
     bounded: bool = True
     freeze_time_planes: bool = False
     freeze_space_planes: bool = False
+    # see KPlanesFieldConfig.sorted_sampler
+    sorted_sampler: bool = True
 
     @property
     def has_time_planes(self) -> bool:
@@ -760,6 +799,8 @@ def kplanes_density_field_density(
         concat_features=False,
         freeze_time_planes=cfg.freeze_time_planes,
         freeze_space_planes=cfg.freeze_space_planes,
+        sorted_ok=cfg.sorted_sampler,
+        ms_packed=params.get("grids_packed"),
     )
     activation = "none" if cfg.linear_decoder else "relu"
     density_before = mlp_apply(

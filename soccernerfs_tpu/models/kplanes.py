@@ -25,6 +25,7 @@ from soccernerfs_tpu.fields.kplanes import (
     init_kplanes_field,
     kplanes_density_field_density,
     kplanes_field_forward,
+    pack_grids_for_render,
 )
 from soccernerfs_tpu.ops import losses as L
 from soccernerfs_tpu.ops.rendering import (
@@ -97,6 +98,10 @@ class Config:
     freeze_time_planes: bool = False
     freeze_space_planes: bool = False
     eval_num_rays_per_chunk: int = 1 << 15
+    # TPU sorted-sampler gate: detaches sample positions, so the Trainer
+    # flips it off when the camera optimizer needs pose gradients
+    # (engine/trainer.py); plumbed to the field configs below.
+    sorted_sampler: bool = True
 
     def __post_init__(self):
         # tuples keep the config hashable for jit static args
@@ -147,6 +152,7 @@ class Config:
             bounded=self.bounded,
             freeze_time_planes=self.freeze_time_planes,
             freeze_space_planes=self.freeze_space_planes,
+            sorted_sampler=self.sorted_sampler,
         )
 
     def density_field_configs(self):
@@ -169,6 +175,7 @@ class Config:
                     bounded=self.bounded,
                     freeze_time_planes=self.freeze_time_planes,
                     freeze_space_planes=self.freeze_space_planes,
+                    sorted_sampler=self.sorted_sampler,
                 )
             cfgs.append((i, built[i]))
         return cfgs
@@ -197,6 +204,21 @@ def init(rng: jax.Array, cfg: Config, num_train_data: int = 0) -> dict:
 
 def param_count(params: dict) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def prepare_render_params(cfg: Config, params: dict) -> dict:
+    """Quad-pack every plane table (field + proposals) to bf16 once per
+    parameter snapshot — whole-image rendering reuses the packed tables
+    across chunks instead of repacking ~1.8 GB per chunk (PERF.md r3).
+    EVAL ONLY: the packed copies carry no gradient link to the grids."""
+    return {
+        **params,
+        "fields": pack_grids_for_render(params["fields"]),
+        "proposal_networks": {
+            k: pack_grids_for_render(v)
+            for k, v in params["proposal_networks"].items()
+        },
+    }
 
 
 def proposal_anneal(cfg: Config, step: jnp.ndarray) -> jnp.ndarray:

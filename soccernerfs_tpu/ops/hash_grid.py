@@ -222,13 +222,30 @@ SCATTER_INTERPRET = False
 _RESIDUAL_BYTES_CAP = 64 * 1024 * 1024
 
 
-def _use_scatter_kernel(C: int) -> bool:
+def _temporal_row_pad(c_row: int) -> int:
+    """Channel padding for the temporal kernel's row-packing: next power
+    of two, bumped to a full 128-lane line when in (32, 128) — the scatter
+    kernel packs c <= 32 or c == 128 rows only.  Single source of truth
+    for the gate (hash_grid_encode) and the kernel call
+    (_hash_level_apply_temporal)."""
+    c_pad = 1 << (c_row - 1).bit_length()
+    if 32 < c_pad < 128:
+        c_pad = 128
+    return c_pad
+
+
+def _use_scatter_kernel(C: int, rows: int) -> bool:
     """XOR-hash levels route their table gradient through the sorted
     Pallas scatter kernel on TPU: XLA's scatter-add serializes colliding
     updates (~80 ns/update into the narrow [R, 2] tables — 5 of the 6
-    hash levels cost ~256 ms EACH at nerfacto scale, PERF.md)."""
+    hash levels cost ~256 ms EACH at nerfacto scale, PERF.md).
+
+    Tables with >= 2^24 rows (log2_hashmap_size >= 24, valid in the
+    reference) fall back to the XLA path: the kernel's row meta rides f32
+    and cannot address them."""
     return (
         (C == 128 or (C <= 32 and 128 % C == 0))
+        and rows < (1 << 24)
         and (SCATTER_INTERPRET or jax.default_backend() == "tpu")
     )
 
@@ -330,9 +347,7 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
         [B, L] f32.
     """
     rows, c_row = lvl_table.shape
-    c_pad = 1 << (c_row - 1).bit_length()
-    if 32 < c_pad < 128:
-        c_pad = 128  # the kernel row-packs c<=32 or full 128-lane lines
+    c_pad = _temporal_row_pad(c_row)
 
     @jax.custom_vjp
     def op(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
@@ -440,10 +455,10 @@ def hash_grid_encode(
         pos0 = pos0.astype(jnp.int32)
 
         C = table.shape[-1]
-        # temporal rows pad channels to a power of two for the kernel's
-        # row-packing; plain rows must divide 128 as-is
-        c_eff = (1 << (C - 1).bit_length()) if cfg.temporal_dim > 0 else C
-        temporal_kernel = cfg.temporal_dim > 0 and _use_scatter_kernel(c_eff)
+        # temporal rows pad channels for the kernel's row-packing (same
+        # rule the kernel call applies); plain rows must divide 128 as-is
+        c_eff = _temporal_row_pad(C) if cfg.temporal_dim > 0 else C
+        temporal_kernel = cfg.temporal_dim > 0 and _use_scatter_kernel(c_eff, rows)
 
         feats_all = None
         if strided and not temporal_kernel:
@@ -470,7 +485,7 @@ def hash_grid_encode(
             base = _hash_index(pos0, res, rows, cfg, dense)
             feats_all = jnp.take(packed, base, axis=0, mode="clip")
 
-        if temporal_kernel or (not strided and _use_scatter_kernel(c_eff)):
+        if temporal_kernel or (not strided and _use_scatter_kernel(c_eff, rows)):
             # TPU: fused corner gather with a sorted Pallas scatter
             # backward for the table gradient.  TEMPORAL grids route ALL
             # levels here: oct-packing their wide rows materializes a

@@ -246,19 +246,28 @@ class ViewerState:
     def start_render_path(self, width=1280, height=720, fps=24,
                           output="rgb", steps_per_transition=24) -> dict:
         """Background render of the keyframe path (RenderModal loop)."""
-        if self.render_job.get("running"):
-            return {"error": "render already running"}
-        if len(self.keyframes) < 2:
-            return {"error": "need >= 2 keyframes"}
+        # check-then-set under the state lock: ThreadingHTTPServer handles
+        # POSTs concurrently, so two /render_path requests must not both
+        # pass the check and race on the trainer + output file
+        with self.lock:
+            if self.render_job.get("running"):
+                return {"error": "render already running"}
+            if len(self.keyframes) < 2:
+                return {"error": "need >= 2 keyframes"}
+            self.render_job = {"running": True, "frame": 0, "total": 0}
         from soccernerfs_tpu.core.camera_paths import (
             get_path_from_json,
             keyframes_to_camera_path_json,
         )
 
-        payload = keyframes_to_camera_path_json(
-            self.keyframes, width, height, steps_per_transition, fps
-        )
-        cams = get_path_from_json(payload)
+        try:
+            payload = keyframes_to_camera_path_json(
+                self.keyframes, width, height, steps_per_transition, fps
+            )
+            cams = get_path_from_json(payload)
+        except Exception:
+            self.render_job = {"running": False, "frame": 0, "total": 0}
+            raise
         out_path = self.output_dir / "renders" / "viewer_path.mp4"
         self.render_job = {
             "running": True, "frame": 0, "total": int(cams.num_cameras)

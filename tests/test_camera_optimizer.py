@@ -51,9 +51,24 @@ def test_so3xr3_pose_params_receive_gradients(tmp_path):
     cfg.set_timestamp()
 
     trainer = Trainer(cfg).setup()
+    # the gate is per-instance config now (no module global): this trainer
+    # must have stood the sorted sampler down ...
+    assert trainer.model_cfg.sorted_sampler is False
     pose0 = np.asarray(trainer.state.params["camera_opt"]["pose_adjustment"])
     assert np.all(pose0 == 0)
     trainer.train()
     pose1 = np.asarray(trainer.state.params["camera_opt"]["pose_adjustment"])
     assert np.any(pose1 != 0), "pose adjustments never received gradients"
     assert np.isfinite(pose1).all()
+
+    # ... while a PLAIN trainer created afterwards in the same process
+    # keeps the fast path (the old module-global leaked False forever)
+    cfg2 = copy.deepcopy(method_configs["k-planes-static"])
+    cfg2.max_num_iterations = 1
+    cfg2.output_dir = tmp_path / "out2"
+    cfg2.pipeline.model = dataclasses.replace(cfg2.pipeline.model, **SMALL)
+    cfg2.pipeline.datamanager.train_num_rays_per_batch = 64
+    cfg2.pipeline.datamanager.dataparser = BlenderDataParserConfig(data=data)
+    cfg2.set_timestamp()
+    plain = Trainer(cfg2).setup()
+    assert plain.model_cfg.sorted_sampler is True

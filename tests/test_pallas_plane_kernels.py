@@ -263,7 +263,7 @@ def test_fwd_group_kernel_exact():
 def test_field_forward_fused_matches_separate(monkeypatch, linear_decoder):
     """kplanes_field_forward's canonical-order pipeline (MLPs in sorted
     order, one [M, 4] permute back) == kplanes_density + kplanes_rgb."""
-    monkeypatch.setattr(kpf, "_use_sorted_sampler", lambda grids: True)
+    monkeypatch.setattr(kpf, "_use_sorted_sampler", lambda grids, allowed=True: True)
     rng = np.random.default_rng(11)
     m = 257
     cfg = kpf.KPlanesFieldConfig(
@@ -287,7 +287,7 @@ def test_field_forward_fused_matches_separate(monkeypatch, linear_decoder):
         cfg, params, aabb, positions, dirs, times, None, train=True
     )
 
-    monkeypatch.setattr(kpf, "_use_sorted_sampler", lambda grids: False)
+    monkeypatch.setattr(kpf, "_use_sorted_sampler", lambda grids, allowed=True: False)
     density_r, features_r = kpf.kplanes_density(cfg, params, aabb, positions, times)
     rgb_r = kpf.kplanes_rgb(cfg, params, features_r, dirs, None, train=True)
 
