@@ -210,6 +210,10 @@ def render_main() -> None:
         )
         return out["rgb"]
 
+    # pack plane tables to bf16 once per snapshot (the render fast path —
+    # per-chunk repacking dominated eval throughput before round 3)
+    params = jax.jit(lambda p: kplanes.prepare_render_params(cfg, p))(params)
+
     chunks = [jnp.asarray(coords_all[i * chunk:(i + 1) * chunk])
               for i in range(n_chunks)]
     jax.block_until_ready(render_chunk(params, chunks[0]))  # compile

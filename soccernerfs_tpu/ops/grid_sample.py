@@ -227,9 +227,7 @@ def plane_sample_fold_group(
 
     m = rowids[0].shape[0]
     planes = len(grids)
-    span = max(1, (r * pk.SC) // max(m, 1))
-    tr = w * max(1, min(-(-span // w), max(1, 2048 // w), -(-r // w)))
-    group = max(1, min(4096 // (tr * planes), -(-r // tr)))
+    tr, group = _fold_group_tiling(r, w, m, planes)
     fwd_kernel = r >= 65536
 
     @jax.custom_vjp
@@ -264,6 +262,65 @@ def plane_sample_fold_group(
 
     op.defvjp(op_fwd, op_bwd)
     return op(list(grids), list(rowids), list(txs), ty)
+
+
+def _fold_group_tiling(r: int, w: int, m: int, planes: int):
+    """(tr, group) policy shared by plane_sample_fold_group and the
+    prepacked eval path — stripes sized so stripe count ~= superchunks."""
+    from soccernerfs_tpu.ops.pallas import plane_kernels as pk
+
+    span = max(1, (r * pk.SC) // max(m, 1))
+    tr = w * max(1, min(-(-span // w), max(1, 2048 // w), -(-r // w)))
+    group = max(1, min(4096 // (tr * planes), -(-r // tr)))
+    return tr, group
+
+
+def plane_sample_packed_group(
+    packeds,
+    rowids,
+    txs,
+    ty: jnp.ndarray,
+    *,
+    w: int,
+    interpret: bool | None = None,
+):
+    """No-grad forward sample of P same-shaped PREPACKED [R, 4F] bf16
+    tables at stripe-sorted row ids — the eval/render fast path.
+
+    Training packs the f32 grids to bf16 inside every step; a render packs
+    ONCE per parameter snapshot (fields/kplanes.pack_* helpers) and each
+    image chunk reuses the packed tables, removing the dominant per-chunk
+    cost of whole-image eval (ref metric: TEST_RAYS_PER_SEC,
+    nerfstudio pipelines/base_pipeline.py:343-352).
+
+    Args:
+        packeds: P [R, 4F] tables (bf16); rowids/txs/ty as
+            plane_sample_fold_group (rows nondecreasing in stripes).
+        w: plane width in quad rows (tiling policy needs it).
+    Returns:
+        list of P [M, F] f32 features in the given (sorted) order.
+    """
+    r, lanes = packeds[0].shape
+    feat = lanes // 4
+    if interpret is None:
+        interpret = PALLAS_INTERPRET
+    use_kernel = (
+        lanes == 128
+        and r >= 65536
+        and (interpret or jax.default_backend() == "tpu")
+    )
+    if use_kernel:
+        from soccernerfs_tpu.ops.pallas import plane_kernels as pk
+
+        m = rowids[0].shape[0]
+        tr, group = _fold_group_tiling(r, w, m, len(packeds))
+        return pk.packed_bilerp_fwd_group(
+            packeds, rowids, txs, ty, tr=tr, group=group, interpret=interpret
+        )
+    return [
+        _bilerp_rows(p, rowid, tx, ty, feat)
+        for p, rowid, tx in zip(packeds, rowids, txs)
+    ]
 
 
 def plane_sample_group_bwdsort(

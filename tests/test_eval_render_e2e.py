@@ -100,3 +100,65 @@ def test_render_spiral_and_camera_path(trained_run, tmp_path):
     ])
     frames2 = list((tmp_path / "traj").glob("*.png"))
     assert len(frames2) == 2
+
+
+def test_prepacked_render_path_matches_train_forward():
+    """pack_grids_for_render + canonical_sorted_features(ms_packed=...)
+    (the whole-image render fast path) reproduces the per-call-pack
+    training forward exactly — both quantize tables to bf16 identically."""
+    import jax
+    import jax.numpy as jnp
+
+    from soccernerfs_tpu.fields import kplanes as kpf
+
+    rng = np.random.default_rng(0)
+    cfg = kpf.KPlanesFieldConfig(
+        spacetime_resolution=(8, 8, 8, 5), feat_dim=32, multiscale_res=(1, 2),
+        concat_features_across_scales=True, sigma_net_hidden_dim=32,
+        rgb_net_hidden_dim=32,
+    )
+    params = kpf.init_kplanes_field(jax.random.PRNGKey(1), cfg)
+    pts = jnp.asarray(rng.uniform(-1, 1, (300, 4)).astype(np.float32))
+    f0, p0, _ = kpf.canonical_sorted_features(pts, params["grids"], True)
+    packed = kpf.pack_grids_for_render(params)["grids_packed"]
+    f1, p1, _ = kpf.canonical_sorted_features(
+        pts, params["grids"], True, ms_packed=packed
+    )
+    assert np.array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+
+
+def test_prepare_render_params_keeps_model_outputs(trained_run):
+    """models.kplanes.prepare_render_params packs field + proposal tables;
+    get_outputs(train=False) with packed params matches the unpacked path
+    (CPU falls back to identical XLA sampling; packed entries are inert)."""
+    import jax
+    import jax.numpy as jnp
+
+    from soccernerfs_tpu.core.rays import RayBundle
+    from soccernerfs_tpu.models import kplanes as kpm
+
+    cfg = kpm.Config(
+        spacetime_resolution=(8, 8, 8), multiscale_res=(1, 2), feature_dim=4,
+        proposal_net_args_list=({"feature_dim": 2, "resolution": (8, 8, 8)},),
+        num_proposal_iterations=1,
+        num_proposal_samples_per_ray=(8,), num_nerf_samples_per_ray=4,
+        sigma_net_hidden_dim=16, rgb_net_hidden_dim=16,
+    )
+    params = kpm.init(jax.random.PRNGKey(0), cfg, num_train_data=2)
+    aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    n = 32
+    rng = np.random.default_rng(3)
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = RayBundle(
+        origins=jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)),
+        directions=jnp.asarray(d),
+        pixel_area=jnp.ones((n, 1)) * 1e-6,
+    )
+    out0 = kpm.get_outputs(cfg, params, aabb, rays, rng=None, train=False)
+    packed = kpm.prepare_render_params(cfg, params)
+    out1 = kpm.get_outputs(cfg, packed, aabb, rays, rng=None, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out0["rgb"]), np.asarray(out1["rgb"]), atol=1e-6
+    )
