@@ -234,6 +234,96 @@ def render_main() -> None:
     }))
 
 
+def families_main(which=None) -> None:
+    """Per-family TPU throughput at REGISTRY-DEFAULT model workloads.
+
+    Emits one JSON line per method: ms/step + train rays/s (same metric of
+    record as the primary line; ref nerfstudio engine/trainer.py:225-231).
+    Uses the real Trainer on synthetic fixtures so raygen/datamanager/
+    dynamic-batch behavior all match production; model hyperparameters are
+    the registry defaults (configs/method_configs.py)."""
+    import copy
+    import dataclasses  # noqa: F401  (kept for parity with callers)
+    import pathlib
+    import tempfile
+    import traceback
+
+    from soccernerfs_tpu.configs.method_configs import method_configs
+    from soccernerfs_tpu.data.dataparsers.blender import BlenderDataParserConfig
+    from soccernerfs_tpu.data.dataparsers.soccer import (
+        BroadcaststyleDataParserConfig,
+    )
+    from soccernerfs_tpu.data.fixtures import (
+        make_blender_fixture,
+        make_broadcaststyle_fixture,
+    )
+    from soccernerfs_tpu.engine.trainer import Trainer
+
+    dynamic = {
+        "k-planes", "nerfplayer", "nerfplayer-nerfacto", "nerfplayer-ngp",
+        "nerfplayer-ngp-complete",
+    }
+    methods = which or [
+        "nerfacto", "instant-ngp", "nerfplayer", "nerfplayer-nerfacto",
+        "nerfplayer-ngp", "nerfplayer-ngp-complete", "tensorf",
+        "k-planes-static",
+    ]
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    bl = tmp / "blender"
+    make_blender_fixture(str(bl), num_frames=4, h=96, w=96)
+    bc = make_broadcaststyle_fixture(
+        tmp / "bstyle", num_cameras=4, num_steps=4, h=96, w=96
+    )
+    for method in methods:
+        try:
+            cfg = copy.deepcopy(method_configs[method])
+            cfg.vis = "terminal"
+            cfg.output_dir = tmp / "out" / method
+            cfg.max_num_iterations = 64
+            cfg.steps_per_eval_batch = 0
+            cfg.steps_per_eval_image = 0
+            cfg.steps_per_eval_all_images = 0
+            cfg.steps_per_save = 10**9
+            dm = cfg.pipeline.datamanager
+            if method in dynamic:
+                dm.dataparser = BroadcaststyleDataParserConfig(
+                    data=bc, fps_downsample=1.0
+                )
+            else:
+                dm.dataparser = BlenderDataParserConfig(data=bl)
+            if hasattr(dm, "pick_mode"):
+                dm.pick_mode = "normal"
+                dm.iters_to_start_is = 1
+            cfg.set_timestamp()
+            trainer = Trainer(cfg).setup()
+            warmup, n_steps = 8, 24
+            for step in range(warmup):
+                m = trainer.train_iteration(step)
+            float(jax.device_get(m["Train Loss"]))  # drain the queue
+            rays = 0
+            t0 = time.time()
+            for step in range(warmup, warmup + n_steps):
+                # dynamic-batch pipelines change rays/batch between steps
+                rays += trainer.datamanager.get_train_rays_per_batch()
+                m = trainer.train_iteration(step)
+            float(jax.device_get(m["Train Loss"]))
+            dt = time.time() - t0
+            print(json.dumps({
+                "metric": f"{method}_train_rays_per_sec_per_chip",
+                "value": round(rays / dt, 1),
+                "unit": "rays/s",
+                "ms_per_step": round(dt / n_steps * 1e3, 1),
+                "rays_per_batch": round(rays / n_steps),
+            }), flush=True)
+            del trainer
+        except Exception as e:  # one OOM must not kill the sweep
+            traceback.print_exc()
+            print(json.dumps({
+                "metric": f"{method}_train_rays_per_sec_per_chip",
+                "error": f"{type(e).__name__}: {e}"[:200],
+            }), flush=True)
+
+
 def scaling_child(n_devices: int) -> None:
     """Weak-scaling probe on a virtual n-device CPU mesh: tiny K-Planes
     config, batch sharded over the data axis, params replicated (the pod
@@ -337,5 +427,8 @@ if __name__ == "__main__":
         scaling_main()
     elif "--render" in sys.argv:
         render_main()
+    elif "--families" in sys.argv:
+        rest = [a for a in sys.argv[1:] if not a.startswith("--")]
+        families_main(rest or None)
     else:
         main()

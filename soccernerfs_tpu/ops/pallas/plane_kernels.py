@@ -53,12 +53,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 CHUNK = 128          # points per chunk == sublanes of one meta row
 SUB = 4              # chunks per super-chunk (lane-packed features)
 SC = CHUNK * SUB     # 512 points per super-chunk
 LANES = 128          # packed feature width (4F)
 FEAT = LANES // 4    # features per plane sample
-NBUF = 2             # double buffering
+# forward-kernel prefetch depth (env-tunable for perf A/Bs)
+NBUF = int(os.environ.get("SNT_FWD_NBUF", "2"))
 
 
 def _onehot_block(meta, base, tr):

@@ -49,8 +49,24 @@ def cmd_images(args):
     out = args.output_dir
     img_out = out / "images"
     img_out.mkdir(parents=True, exist_ok=True)
+    data_dir = args.data
+
+    # equirectangular captures: render perspective crops first and run SfM
+    # on those (ref: scripts/process_data.py equirect path +
+    # process_data/equirect_utils.py)
+    if getattr(args, "camera_type", "perspective") == "equirectangular":
+        from soccernerfs_tpu.scripts import sfm_tools
+
+        size = sfm_tools.compute_resolution_from_equirect(
+            data_dir, args.images_per_equirect
+        )
+        data_dir = sfm_tools.generate_planar_projections_from_equirectangular(
+            data_dir, size, args.images_per_equirect,
+            tuple(args.crop_factor),
+        )
+
     sources = sorted(
-        p for p in args.data.iterdir() if p.suffix.lower() in (".png", ".jpg", ".jpeg")
+        p for p in data_dir.iterdir() if p.suffix.lower() in (".png", ".jpg", ".jpeg")
     )
     for i, src in enumerate(sources):
         shutil.copy(src, img_out / f"frame_{i:05d}{src.suffix.lower()}")
@@ -65,13 +81,26 @@ def cmd_images(args):
 
     if args.skip_colmap:
         return
-    if not _have("colmap"):
-        raise SystemExit(
-            "colmap is not installed; run COLMAP elsewhere and then:\n"
-            "  python -m soccernerfs_tpu.scripts.process_data colmap-to-json "
-            f"--sparse <model-dir> --output-dir {out}"
+    if getattr(args, "sfm_tool", "colmap") == "hloc":
+        # learned-feature fallback when COLMAP's SIFT matching fails
+        # (ref: process_data/hloc_utils.py)
+        from soccernerfs_tpu.scripts import sfm_tools
+
+        sparse = sfm_tools.run_hloc(
+            img_out, out / "colmap",
+            matching_method=args.matching_method,
+            feature_type=args.feature_type,
+            matcher_type=args.matcher_type,
         )
-    sparse = _run_colmap(img_out, out / "colmap")
+    else:
+        if not _have("colmap"):
+            raise SystemExit(
+                "colmap is not installed; run COLMAP elsewhere and then:\n"
+                "  python -m soccernerfs_tpu.scripts.process_data colmap-to-json "
+                f"--sparse <model-dir> --output-dir {out}\n"
+                "  (or retry with --sfm-tool hloc if hloc is installed)"
+            )
+        sparse = _run_colmap(img_out, out / "colmap")
     _write_transforms(sparse, out)
 
 
@@ -115,6 +144,18 @@ def main(argv=None):
     p.add_argument("--output-dir", type=Path, required=True)
     p.add_argument("--downscale", type=int, default=1)
     p.add_argument("--skip-colmap", action="store_true")
+    p.add_argument("--camera-type", default="perspective",
+                   choices=("perspective", "equirectangular"))
+    p.add_argument("--images-per-equirect", type=int, default=8,
+                   choices=(8, 14))
+    p.add_argument("--crop-factor", type=float, nargs=4,
+                   default=(0.0, 0.0, 0.0, 0.0),
+                   metavar=("TOP", "BOTTOM", "LEFT", "RIGHT"))
+    p.add_argument("--sfm-tool", default="colmap", choices=("colmap", "hloc"))
+    p.add_argument("--matching-method", default="vocab_tree",
+                   choices=("vocab_tree", "exhaustive", "sequential"))
+    p.add_argument("--feature-type", default="superpoint_aachen")
+    p.add_argument("--matcher-type", default="superglue")
     p.set_defaults(fn=cmd_images)
 
     p = sub.add_parser("video")
