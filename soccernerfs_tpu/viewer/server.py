@@ -75,7 +75,18 @@ button { margin:1px; }
   <span id="kfst">0 keyframes</span>
   <div id="kflist"></div>
   <div id="rst"></div>
+  <button id="camtoggle">show cameras</button>
+  <button id="exptoggle">export panel</button>
+  <button id="logtoggle">logs</button>
+  <div id="exppanel" style="display:none">
+    crop min <input id="cmin" size="10" value="-1 -1 -1">
+    max <input id="cmax" size="10" value="1 1 1">
+    <button id="expgen">generate commands</button>
+    <pre id="expout" style="white-space:pre-wrap"></pre>
+  </div>
+  <pre id="logpanel" style="display:none; max-height:240px; overflow:auto"></pre>
 </div>
+<canvas id="overlay" style="position:fixed;top:0;left:0;pointer-events:none"></canvas>
 <img id="view">
 <script>
 let az=0.8, el=0.5, radius=2.5, t=0, fov=60, out='rgb';
@@ -181,6 +192,82 @@ document.getElementById('renderpath').onclick=async()=>{
   }; tick();};
 fetch('/scene').then(r=>r.json()).then(j=>{
   if(!j.has_time) document.getElementById('trow').style.display='none';});
+
+// ---- scene context: training-camera frustums + thumbnails (init_scene) ----
+let sceneCams=null, showCams=false;
+const ovl=document.getElementById('overlay'), ctx=ovl.getContext('2d');
+const thumbs={};
+document.getElementById('camtoggle').onclick=async()=>{
+  showCams=!showCams;
+  document.getElementById('camtoggle').textContent=
+    showCams?'hide cameras':'show cameras';
+  if(showCams&&!sceneCams){
+    sceneCams=(await (await fetch('/scene_cameras')).json()).cameras;
+    for(const c of sceneCams){ if(c.thumb){ const im=new Image();
+      im.src='data:image/jpeg;base64,'+c.thumb; thumbs[c.idx]=im; } }
+  }
+  drawOverlay();
+};
+function viewProject(p){
+  // world -> current orbit camera (same mapping the server renders with)
+  const m=c2w(); // rows of [r u -f eye]
+  const d=[p[0]-m[0][3], p[1]-m[1][3], p[2]-m[2][3]];
+  const x=d[0]*m[0][0]+d[1]*m[1][0]+d[2]*m[2][0];
+  const y=d[0]*m[0][1]+d[1]*m[1][1]+d[2]*m[2][1];
+  const z=d[0]*m[0][2]+d[1]*m[1][2]+d[2]*m[2][2];
+  if(z>=-1e-6) return null;                      // behind the eye (-z fwd)
+  const f=(ovl.height/2)/Math.tan(fov*Math.PI/360);
+  return [ovl.width/2 + f*x/(-z), ovl.height/2 - f*y/(-z), -z];
+}
+function drawOverlay(){
+  ovl.width=window.innerWidth; ovl.height=window.innerHeight;
+  ctx.clearRect(0,0,ovl.width,ovl.height);
+  if(!showCams||!sceneCams) return;
+  ctx.strokeStyle='#6cf'; ctx.lineWidth=1; ctx.font='9px monospace';
+  for(const c of sceneCams){
+    const m=c.c2w, s=0.25, a=c.aspect||1.78;
+    const o=[m[0][3],m[1][3],m[2][3]];
+    const hw=s*Math.tan(c.fov*Math.PI/360)*a, hh=s*Math.tan(c.fov*Math.PI/360);
+    const corners=[[-hw,-hh],[hw,-hh],[hw,hh],[-hw,hh]].map(([u,v])=>[
+      o[0]+m[0][0]*u+m[0][1]*v-m[0][2]*s,
+      o[1]+m[1][0]*u+m[1][1]*v-m[1][2]*s,
+      o[2]+m[2][0]*u+m[2][1]*v-m[2][2]*s]);
+    const po=viewProject(o), pc=corners.map(viewProject);
+    if(!po||pc.some(p=>!p)) continue;
+    ctx.beginPath();
+    for(let i=0;i<4;i++){ ctx.moveTo(po[0],po[1]); ctx.lineTo(pc[i][0],pc[i][1]);
+      ctx.lineTo(pc[(i+1)%4][0],pc[(i+1)%4][1]); }
+    ctx.stroke();
+    const im=thumbs[c.idx];
+    if(im&&im.complete){ const w=Math.max(12, 900/po[2]);
+      ctx.drawImage(im, po[0]-w/2, po[1]-w/(2*a), w, w/a); }
+    ctx.fillStyle='#6cf'; ctx.fillText('#'+c.idx, po[0]+3, po[1]-3);
+  }
+}
+setInterval(()=>{ if(showCams) drawOverlay(); }, 120);
+
+// ---- ExportPanel: generate snt-render / snt-export commands ----
+document.getElementById('exptoggle').onclick=()=>{
+  const p=document.getElementById('exppanel');
+  p.style.display=p.style.display==='none'?'block':'none';};
+document.getElementById('expgen').onclick=async()=>{
+  const mn=document.getElementById('cmin').value.trim().split(/\\s+/).map(Number);
+  const mx=document.getElementById('cmax').value.trim().split(/\\s+/).map(Number);
+  const j=await (await fetch('/export_commands',{method:'POST',
+    body:JSON.stringify({crop:{min:mn,max:mx}})})).json();
+  document.getElementById('expout').textContent=
+    Object.values(j).join('\\n\\n');};
+
+// ---- LogPanel: recent train metrics + viewer events ----
+let showLogs=false;
+document.getElementById('logtoggle').onclick=()=>{
+  showLogs=!showLogs;
+  document.getElementById('logpanel').style.display=showLogs?'block':'none';};
+setInterval(async()=>{ if(!showLogs) return;
+  const j=await (await fetch('/logs')).json();
+  const lp=document.getElementById('logpanel');
+  lp.textContent=j.logs.join('\\n'); lp.scrollTop=lp.scrollHeight; }, 2000);
+
 poke(); loop(); refreshKfs();
 </script></body></html>"""
 
@@ -194,6 +281,24 @@ class ViewerState:
         self.keyframes: list = []
         self.output_dir = Path(output_dir) if output_dir else Path.cwd()
         self.render_job: dict = {"running": False, "frame": 0, "total": 0}
+        self._logs: list = []
+        self._log_lock = threading.Lock()
+        # mirror the training writer's scalar events into the log panel
+        try:
+            from soccernerfs_tpu.utils import writer as _writer
+
+            state = self
+
+            class _ViewerSink(_writer.Writer):
+                def write_scalar(self, name, scalar, step):
+                    state.log(f"step {step} {name}: {scalar:.4g}")
+
+                def write_image(self, name, image, step):
+                    state.log(f"step {step} {name}: image {image.shape}")
+
+            _writer._SINKS.append(_ViewerSink())
+        except Exception:
+            pass
 
     def add_keyframe(self, c2w, fov, time=None) -> int:
         kf = {"c2w": c2w, "fov": float(fov)}
@@ -352,6 +457,96 @@ class ViewerState:
             "aabb": np.asarray(self.trainer.aabb).tolist(),
         }
 
+    def scene_cameras(self, max_cameras: int = 100, thumb_px: int = 48) -> dict:
+        """Training-camera frustums + image thumbnails for the 3D scene
+        overlay — the reference viewer's init_scene surface
+        (ref: viewer/server/viewer_utils.py:322 draws every training
+        frustum with its image in the Three.js scene)."""
+        import base64
+
+        from PIL import Image
+
+        cams = self.trainer.train_cameras
+        n = int(cams.num_cameras)
+        idxs = np.unique(
+            np.linspace(0, n - 1, min(n, max_cameras)).astype(int)
+        )
+        dataset = getattr(
+            getattr(self.trainer, "datamanager", None), "train_dataset", None
+        )
+        c2ws = np.asarray(cams.camera_to_worlds)
+        fys = np.asarray(cams.fy).reshape(-1)
+        hs = np.asarray(cams.height).reshape(-1)
+        ws = np.asarray(cams.width).reshape(-1)
+        out = []
+        for i in idxs:
+            entry = {
+                "idx": int(i),
+                "c2w": c2ws[i].tolist(),
+                "fov": float(np.rad2deg(2 * np.arctan(hs[i] / 2.0 / fys[i]))),
+                "aspect": float(ws[i] / hs[i]),
+            }
+            if dataset is not None:
+                try:
+                    img = np.asarray(dataset.get_image(int(i)))
+                    pil = Image.fromarray(
+                        (np.clip(img[..., :3], 0, 1) * 255).astype(np.uint8)
+                    )
+                    pil.thumbnail((thumb_px, thumb_px))
+                    buf = io.BytesIO()
+                    pil.save(buf, format="JPEG", quality=70)
+                    entry["thumb"] = base64.b64encode(buf.getvalue()).decode()
+                except Exception:
+                    pass
+            out.append(entry)
+        return {"cameras": out}
+
+    def export_commands(self, crop: dict | None = None) -> dict:
+        """Shell commands for the current run — the ExportPanel surface
+        (ref: viewer/app/src/modules/SidePanel/ExportPanel generates
+        ns-export / ns-render invocations from the viewer state)."""
+        config = self.output_dir / "config.yml"
+        path_json = self.output_dir / "camera_path.json"
+        crop_args = ""
+        if crop:
+            lo = [float(v) for v in crop.get("min", (-1, -1, -1))]
+            hi = [float(v) for v in crop.get("max", (1, 1, 1))]
+            crop_args = (
+                f" --bbox-min {lo[0]} {lo[1]} {lo[2]}"
+                f" --bbox-max {hi[0]} {hi[1]} {hi[2]}"
+            )
+        return {
+            "render": (
+                f"snt-render --load-config {config} --traj filename "
+                f"--camera-path-filename {path_json} "
+                f"--output-path renders/output.mp4"
+            ),
+            "export_pointcloud": (
+                f"snt-export pointcloud --load-config {config} "
+                f"--output-dir exports/pcd{crop_args}"
+            ),
+            "export_mesh": (
+                f"snt-export poisson --load-config {config} "
+                f"--output-dir exports/mesh{crop_args}"
+            ),
+        }
+
+    def recent_logs(self, limit: int = 200) -> list:
+        """Recent training metrics + viewer events — the LogPanel surface
+        (ref: viewer/app/src/modules/SidePanel/LogPanel)."""
+        with self._log_lock:
+            return list(self._logs)[-limit:]
+
+    def log(self, msg: str) -> None:
+        import time as _time
+
+        with self._log_lock:
+            self._logs.append(
+                f"{_time.strftime('%H:%M:%S')} {msg}"
+            )
+            if len(self._logs) > 1000:
+                del self._logs[:500]
+
 
 def make_handler(state: ViewerState):
     class Handler(BaseHTTPRequestHandler):
@@ -376,6 +571,12 @@ def make_handler(state: ViewerState):
                 )
             elif self.path == "/render_status":
                 self._send(200, json.dumps(state.render_job).encode())
+            elif self.path == "/scene_cameras":
+                self._send(200, json.dumps(state.scene_cameras()).encode())
+            elif self.path == "/logs":
+                self._send(
+                    200, json.dumps({"logs": state.recent_logs()}).encode()
+                )
             else:
                 self._send(404, b"{}")
 
@@ -421,6 +622,9 @@ def make_handler(state: ViewerState):
                         int(req.get("steps_per_transition", 24)),
                         int(req.get("fps", 24)),
                     )
+                    self._send(200, json.dumps(payload).encode())
+                elif self.path == "/export_commands":
+                    payload = state.export_commands(req.get("crop"))
                     self._send(200, json.dumps(payload).encode())
                 elif self.path == "/render_path":
                     payload = state.start_render_path(

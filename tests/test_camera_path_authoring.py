@@ -94,3 +94,62 @@ def test_viewer_remove_keyframe_and_output_modes(tmp_path):
     for mode in ("rgb", "depth", "accumulation"):
         img = ViewerState._to_rgb8(outputs, mode)
         assert img.shape == (4, 6, 3) and img.dtype == np.uint8
+
+
+class _FakeCameras:
+    num_cameras = 3
+    times = None
+    camera_to_worlds = np.tile(np.eye(4, dtype=np.float32)[:3][None], (3, 1, 1))
+    fy = np.full((3,), 40.0, np.float32)
+    height = np.full((3,), 48, np.int32)
+    width = np.full((3,), 64, np.int32)
+
+
+class _FakeDataset:
+    def get_image(self, i):
+        return np.full((8, 12, 3), 0.5, np.float32)
+
+
+class _FakeDM:
+    train_dataset = _FakeDataset()
+
+
+class _FakeTrainer:
+    train_cameras = _FakeCameras()
+    datamanager = _FakeDM()
+    aabb = np.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+
+
+def test_viewer_scene_cameras_frustums_and_thumbs(tmp_path):
+    """GET /scene_cameras parity with the reference viewer's init_scene
+    (training frustums + image thumbnails, ref viewer_utils.py:322)."""
+    state = ViewerState(trainer=_FakeTrainer(), output_dir=tmp_path)
+    out = state.scene_cameras(thumb_px=8)
+    assert len(out["cameras"]) == 3
+    cam = out["cameras"][0]
+    assert len(cam["c2w"]) == 3 and len(cam["c2w"][0]) == 4
+    assert 0 < cam["fov"] < 180 and cam["aspect"] > 1
+    import base64
+
+    assert len(base64.b64decode(cam["thumb"])) > 50  # a real JPEG
+
+
+def test_viewer_export_commands_and_logs(tmp_path):
+    """ExportPanel command generation + LogPanel buffer (SidePanel parity)."""
+    state = ViewerState(trainer=_FakeTrainer(), output_dir=tmp_path)
+    cmds = state.export_commands(
+        {"min": (-0.5, -0.5, 0.0), "max": (0.5, 0.5, 1.0)}
+    )
+    assert str(tmp_path / "config.yml") in cmds["render"]
+    assert "--traj filename" in cmds["render"]
+    assert "--bbox-min -0.5 -0.5 0.0" in cmds["export_pointcloud"]
+    assert "poisson" in cmds["export_mesh"]
+
+    state.log("hello")
+    from soccernerfs_tpu.utils import writer
+
+    writer.put_scalar("Train Loss", 0.25, 7)
+    writer.write_out_storage()
+    logs = state.recent_logs()
+    assert any("hello" in ln for ln in logs)
+    assert any("Train Loss" in ln and "0.25" in ln for ln in logs)
