@@ -29,6 +29,12 @@ class MachineConfig:
     num_machines: int = 1
     machine_rank: int = 0
     coordinator: Optional[str] = None
+    # Take the shard_map SPMD branch even on a single-device mesh.  This
+    # compiles the exact program a pod run executes (Mosaic custom calls
+    # inside shard_map with explicit pmean) so the multi-chip path can be
+    # validated on one real chip (the analog of always wrapping in DDP,
+    # ref: pipelines/base_pipeline.py:244-246).
+    force_shard_map: bool = False
 
 
 @dataclass

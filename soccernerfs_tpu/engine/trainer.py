@@ -183,6 +183,9 @@ class Trainer:
 
         mesh = self.mesh
         n_dev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        use_shard_map = n_dev > 1 or (
+            mesh is not None and self.config.machine.force_shard_map
+        )
 
         def train_step(
             state: TrainState,
@@ -207,7 +210,7 @@ class Trainer:
                 NCCL replacement that also keeps Pallas custom calls legal
                 under SPMD (they cannot be auto-partitioned)."""
                 rng0 = jax.random.fold_in(base_rng, step)
-                if n_dev > 1:
+                if use_shard_map:
                     rng0 = jax.random.fold_in(
                         rng0, jax.lax.axis_index(meshlib.DATA_AXIS)
                     )
@@ -237,13 +240,13 @@ class Trainer:
                 (loss, (loss_dict, metrics)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(params)
-                if n_dev > 1:
+                if use_shard_map:
                     loss, loss_dict, metrics, grads = jax.lax.pmean(
                         (loss, loss_dict, metrics, grads), meshlib.DATA_AXIS
                     )
                 return loss, loss_dict, metrics, grads
 
-            if n_dev > 1:
+            if use_shard_map:
                 from jax.sharding import PartitionSpec as P
 
                 loss, loss_dict, metrics, grads = jax.shard_map(
