@@ -67,12 +67,16 @@ def run(method: str, n_steps: int = 6) -> dict:
         dm.iters_to_start_is = 1
     # keep the remote compile small but leave feature_dim 32 (k-planes)
     # so the Pallas sorted-sampler path stays ON
-    model = cfg.pipeline.model
-    if hasattr(model, "spacetime_resolution") and method == "k-planes":
-        model.spacetime_resolution = (32, 32, 32, 8)
-        model.multiscale_res = (1, 2)
-        model.num_proposal_samples_per_ray = (64, 32)
-        model.num_nerf_samples_per_ray = 24
+    import dataclasses
+
+    if hasattr(cfg.pipeline.model, "spacetime_resolution") and method == "k-planes":
+        cfg.pipeline.model = dataclasses.replace(
+            cfg.pipeline.model,
+            spacetime_resolution=(32, 32, 32, 8),
+            multiscale_res=(1, 2),
+            num_proposal_samples_per_ray=(64, 32),
+            num_nerf_samples_per_ray=24,
+        )
     dm.train_num_rays_per_batch = 1024
     cfg.set_timestamp()
     trainer = Trainer(cfg).setup()
