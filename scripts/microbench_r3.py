@@ -37,7 +37,8 @@ def fold_ab():
 
     h = w = 1024
     for planes, variants in (
-        (2, [(2048, 1), (1024, 2), (1024, 1), (2048, 2), (4096, 1)]),
+        # tr=4096 g=1 P=2 OOMs scoped VMEM (s_acc 20.4M > 16M limit)
+        (2, [(2048, 1), (1024, 2), (1024, 1), (2048, 2)]),
         (1, [(2048, 2), (1024, 4), (1024, 2)]),
     ):
         rowid, tx, ty = sorted_points(h, w)

@@ -228,6 +228,7 @@ def plane_sample_fold_group(
     m = rowids[0].shape[0]
     planes = len(grids)
     tr, group = _fold_group_tiling(r, w, m, planes)
+    tr_f, group_f = _fold_group_tiling(r, w, m, planes, fwd=True)
     fwd_kernel = r >= 65536
 
     @jax.custom_vjp
@@ -235,7 +236,7 @@ def plane_sample_fold_group(
         packeds = [quad_pack(g).astype(jnp.bfloat16) for g in grids]
         if fwd_kernel:
             return pk.packed_bilerp_fwd_group(
-                packeds, rowids, txs, ty, tr=tr, group=group,
+                packeds, rowids, txs, ty, tr=tr_f, group=group_f,
                 interpret=interpret,
             )
         return [
@@ -264,13 +265,22 @@ def plane_sample_fold_group(
     return op(list(grids), list(rowids), list(txs), ty)
 
 
-def _fold_group_tiling(r: int, w: int, m: int, planes: int):
+def _fold_group_tiling(r: int, w: int, m: int, planes: int,
+                       fwd: bool = False):
     """(tr, group) policy shared by plane_sample_fold_group and the
-    prepacked eval path — stripes sized so stripe count ~= superchunks."""
+    prepacked eval path — stripes sized so stripe count ~= superchunks.
+
+    The FORWARD kernel prefers narrower stripes on wide planes (w=1024:
+    tr=1024/g=2 beats tr=2048/g=1 by ~11%, microbench_r3 — the halved
+    one-hot build outweighs the boundary-chunk refetches); the backward
+    keeps the wider stripe (the same swap measured 5% SLOWER there: the
+    gradient DMA is refetched along with the meta for boundary chunks).
+    """
     from soccernerfs_tpu.ops.pallas import plane_kernels as pk
 
     span = max(1, (r * pk.SC) // max(m, 1))
-    tr = w * max(1, min(-(-span // w), max(1, 2048 // w), -(-r // w)))
+    cap = 1024 if fwd else 2048
+    tr = w * max(1, min(-(-span // w), max(1, cap // w), -(-r // w)))
     group = max(1, min(4096 // (tr * planes), -(-r // tr)))
     return tr, group
 
@@ -313,7 +323,7 @@ def plane_sample_packed_group(
         from soccernerfs_tpu.ops.pallas import plane_kernels as pk
 
         m = rowids[0].shape[0]
-        tr, group = _fold_group_tiling(r, w, m, len(packeds))
+        tr, group = _fold_group_tiling(r, w, m, len(packeds), fwd=True)
         return pk.packed_bilerp_fwd_group(
             packeds, rowids, txs, ty, tr=tr, group=group, interpret=interpret
         )

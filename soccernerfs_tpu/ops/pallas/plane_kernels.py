@@ -593,9 +593,19 @@ def tile_starts(idx_sorted, r_pad: int, tr: int):
     return jnp.searchsorted(idx_sorted, edges, side="left").astype(jnp.int32)
 
 
-def unpack_features(out3, m: int):
-    """[S, CHUNK, LANES] kernel blocks -> [m, FEAT] point-major features."""
+def unpack_features(out3, m: int, interleave: bool = False):
+    """[S, CHUNK, LANES] kernel blocks -> [m, FEAT] point-major features.
+
+    interleave=True uses the point mapping p = s*SC + c*SUB + j (sub-chunk
+    round-robin within the super-chunk) so this is a PURE RESHAPE; the
+    default block mapping p = s*SC + j*CHUNK + c needs a (j, c) transpose
+    of the full feature stream.  MEASURED NET LOSS in-step (PERF.md
+    negative results: the interleaved meta `_rows` transpose has a 4-lane
+    minor dim and relayouts worse than the feature transposes it saves),
+    so all call sites use the default False; the knob stays for A/Bs."""
     s = out3.shape[0]
+    if interleave:
+        return out3.reshape(s, CHUNK, SUB, FEAT).reshape(s * SC, FEAT)[:m]
     return (
         out3.reshape(s, CHUNK, SUB, FEAT)
         .transpose(0, 2, 1, 3)
@@ -603,10 +613,16 @@ def unpack_features(out3, m: int):
     )
 
 
-def pack_features(g, s_rows: int):
-    """[m, feat] point-major -> [S, CHUNK, SUB*feat] kernel blocks."""
+def pack_features(g, s_rows: int, interleave: bool = False):
+    """[m, feat] point-major -> [S, CHUNK, SUB*feat] kernel blocks.
+
+    See unpack_features: interleave=True makes this a pure reshape (point
+    p = s*SC + c*SUB + j lands at block row c, lane group j) — measured
+    net loss in-step; default False is what call sites use."""
     m, feat = g.shape
     g = jnp.concatenate([g, jnp.zeros((s_rows * SC - m, feat), g.dtype)], 0)
+    if interleave:
+        return g.reshape(s_rows, CHUNK, SUB * feat)
     return (
         g.reshape(s_rows, SUB, CHUNK, feat)
         .transpose(0, 2, 1, 3)
@@ -649,9 +665,9 @@ def packed_bilerp_fwd_group(tables, rowids, txs, ty, *, tr: int = 1024,
     m = rowids[0].shape[0]
     pad = (-m) % SC + SC
     meta = jnp.concatenate(
-        [_rows(idx, float(r_pad + 1), pad) for idx in rowids]
-        + [_rows(tx, 0.0, pad) for tx in txs]
-        + [_rows(ty, 0.0, pad)],
+        [_rows(idx, float(r_pad + 1), pad, interleave=False) for idx in rowids]
+        + [_rows(tx, 0.0, pad, interleave=False) for tx in txs]
+        + [_rows(ty, 0.0, pad, interleave=False)],
         axis=1,
     )  # [S, 8P+4, CHUNK]
     ts = tile_starts(rowids[0], r_pad, tr)
@@ -688,7 +704,7 @@ def packed_bilerp_fwd_group(tables, rowids, txs, ty, *, tr: int = 1024,
     )(ts, meta, *tables_p)
     if planes == 1:
         outs = (outs,) if not isinstance(outs, (tuple, list)) else outs
-    return [unpack_features(o, m) for o in outs]
+    return [unpack_features(o, m, interleave=False) for o in outs]
 
 
 def packed_bilerp_fwd(table_packed, idx_sorted, tx, ty, *, tr: int = 1024,
@@ -703,10 +719,19 @@ def packed_bilerp_fwd(table_packed, idx_sorted, tx, ty, *, tr: int = 1024,
 BWD_NBUF = 4  # deeper prefetch: the per-chunk compute is often < DMA latency
 
 
-def _rows(v, fill, pad):
+def _rows(v, fill, pad, interleave: bool = False):
+    """Per-point scalar -> [S, SUB, CHUNK] meta rows (sub-chunk j, col c).
+
+    interleave=True assigns point p = s*SC + c*SUB + j (matching
+    pack_features/unpack_features interleave): the (c, j) transpose runs
+    HERE instead of on the feature streams — but its 4-lane-minor
+    relayout measured SLOWER in-step (PERF.md), so call sites pass
+    False."""
     v = jnp.concatenate(
         [v.astype(jnp.float32), jnp.full((pad,), fill, jnp.float32)], 0
     )
+    if interleave:
+        return v.reshape(-1, CHUNK, SUB).swapaxes(1, 2)
     return v.reshape(-1, SUB, CHUNK)
 
 
@@ -744,13 +769,17 @@ def packed_bilerp_bwd_group(gs, rowids, txs, ty, *, r: int, tr: int = 1024,
     m = rowids[0].shape[0]
     pad = (-m) % SC + SC
     parts = (
-        [_rows(idx, float((r_pad + 1) * g_pack), pad) for idx in rowids]
-        + [_rows(tx, 0.0, pad) for tx in txs]
-        + [_rows(ty, 0.0, pad)]
+        [_rows(idx, float((r_pad + 1) * g_pack), pad, interleave=False)
+         for idx in rowids]
+        + [_rows(tx, 0.0, pad, interleave=False) for tx in txs]
+        + [_rows(ty, 0.0, pad, interleave=False)]
     )
     s_rows = parts[0].shape[0]
     meta = jnp.concatenate(parts, axis=1)           # [S, 8P+4, CHUNK] f32
-    g_blocks = [pack_features(g.astype(jnp.bfloat16), s_rows) for g in gs]
+    g_blocks = [
+        pack_features(g.astype(jnp.bfloat16), s_rows, interleave=False)
+        for g in gs
+    ]
     if 4 * feat < LANES:  # pad the used lanes up to a full line
         g_blocks = [
             jnp.concatenate(
@@ -1008,9 +1037,10 @@ def bilerp_bwd_group_fold(gs, rowids, txs, ty, *, h: int, w: int,
     m = rowids[0].shape[0]
     pad = (-m) % SC + SC
     parts = (
-        [_rows(idx, float(r_pad + 1), pad) for idx in rowids]
-        + [_rows(tx, 0.0, pad) for tx in txs]
-        + [_rows(ty, 0.0, pad)]
+        [_rows(idx, float(r_pad + 1), pad, interleave=False)
+         for idx in rowids]
+        + [_rows(tx, 0.0, pad, interleave=False) for tx in txs]
+        + [_rows(ty, 0.0, pad, interleave=False)]
     )
     s_rows = parts[0].shape[0]
     meta = jnp.concatenate(parts, axis=1)           # [S, 8P+4, CHUNK] f32
@@ -1018,7 +1048,9 @@ def bilerp_bwd_group_fold(gs, rowids, txs, ty, *, h: int, w: int,
     # folding them into the f32 meta buffer forced a convert + concat pass
     # over the whole gradient stream and doubled its DMA bytes
     gcat = jnp.concatenate(
-        [pack_features(g.astype(jnp.bfloat16), s_rows) for g in gs], axis=1
+        [pack_features(g.astype(jnp.bfloat16), s_rows, interleave=False)
+         for g in gs],
+        axis=1,
     )                                               # [S, P*CHUNK, CHUNK]
     ts = tile_starts(rowids[0], r_pad, tr)
 
