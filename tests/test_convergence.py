@@ -43,5 +43,11 @@ def test_kplanes_static_converges(tmp_path):
         "--output-path", str(tmp_path / "r.json"),
         "--no-dynmetric",
     ])
-    psnr = json.loads((tmp_path / "r.json").read_text())["results"]["psnr"]
-    assert psnr > 19.0, f"held-out PSNR regressed: {psnr:.2f} dB (expect ~22)"
+    results = json.loads((tmp_path / "r.json").read_text())["results"]
+    psnr, ssim = results["psnr"], results["ssim"]
+    # round-3 measured values on this fixture/schedule: 22.05 dB / 0.490
+    # SSIM — the gates sit ~1.5 dB / ~0.05 below so a 1 dB regression
+    # (e.g. a silent bf16/kernel change) fails while run-to-run noise
+    # (~0.2 dB) passes (VERDICT r2 item 5).
+    assert psnr > 20.5, f"held-out PSNR regressed: {psnr:.2f} dB (expect ~22.0)"
+    assert ssim > 0.44, f"held-out SSIM regressed: {ssim:.3f} (expect ~0.49)"
