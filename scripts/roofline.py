@@ -129,10 +129,11 @@ def main():
     rows.append(("alignment permutes", 17, b, 0, ms_hbm(b),
                  f"XLA large-gather floor {floor:.1f} ms"))
 
-    # 6. sorts (3 keys, ~6 operands, M_FIELD)
+    # 6. sorts (3 keys over M_FIELD; ~1.3 ns per key element, operands
+    # ride ~free per the primitive table)
     b = 3 * 6 * M_FIELD * 4 * 2
-    floor = 3 * 6 * M_FIELD * SORT_NS / 1e6
-    rows.append(("canonical sorts", 4, b, 0, ms_hbm(b),
+    floor = 3 * M_FIELD * SORT_NS / 1e6
+    rows.append(("canonical sorts", 2, b, 0, ms_hbm(b),
                  f"lax.sort floor {floor:.1f} ms"))
 
     # 7. MLPs (sigma 160->128->16, color SH+geo -> 128 -> 128 -> 3) fwd+bwd
@@ -149,6 +150,40 @@ def main():
     # 9. bwd g/meta prep (pack_features transposes + bf16 casts)
     b = 30 * M_FIELD * (256 + 256)          # read f32 g + write packed bf16*2
     rows.append(("bwd g/meta prep", 9, b, 0, ms_hbm(b), "transpose streams"))
+
+    # ---- full-step extras: proposal backward (1 step in 6 post-warmup) --
+    # groups per 4D prop level: (XY P=1), (XZ,YZ P=2), (XT,YT,ZT P=3)
+    prop_groups = [(1,), (2,), (3,)]
+    # lax.sort costs ~1.3 ns per KEY element ("multi-operand similar",
+    # PERF.md primitive table): 3 group sorts per level
+    sort_keys = 3 * sum(M_PROP)
+    b_sort = sum(
+        (1 + 2 * np_ + 2) * m * 4 * 2
+        for m in M_PROP for (np_,) in prop_groups
+    )
+    b_perm = sum(m * 6 * 8 * 2 * 2 for m in M_PROP)  # [M, P*8]bf16 r+w
+    # one concat-gather per (level, group): rows = M per level x 3 groups,
+    # 1 lane-tile each, ~6 ns/row at the 25-50 MB source sizes
+    perm_rows_n = 3 * sum(M_PROP)
+    macs_sc = 0
+    for (lvl, p), m in zip(enumerate(PROPS), M_PROP):
+        sp = p["res"]
+        for kind, r, w, f, _ in prop_tables()[lvl * 6:(lvl + 1) * 6]:
+            g_pack = 128 // (4 * f)             # 4 quad rows per line
+            r4 = r // g_pack
+            w4 = max(1, w // g_pack)
+            span = max(1, (r4 * 512) // m)
+            tr = w4 * max(1, min(-(-span // w4), max(1, 2048 // w4)))
+            macs_sc += m * tr * 128
+    rows.append(("prop bwd: sorts (1/6 steps)", 9, b_sort, 0,
+                 ms_hbm(b_sort),
+                 f"lax.sort floor {sort_keys * SORT_NS / 1e6:.1f} ms"))
+    rows.append(("prop bwd: grad permute gathers (1/6)", 30, b_perm, 0,
+                 ms_hbm(b_perm),
+                 f"gather floor {perm_rows_n * 6.0 / 1e6:.1f} ms"
+                 " (~6 ns/row at 25-50 MB sources)"))
+    rows.append(("prop bwd: scatter kernels (1/6)", 17, 0, macs_sc,
+                 ms_mxu(macs_sc), "row-packed one-hot scatter"))
 
     tot_meas = sum(r[1] for r in rows)
     tot_floor = sum(r[4] for r in rows)
