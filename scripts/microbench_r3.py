@@ -49,7 +49,7 @@ def fold_ab():
         rowids = [rowid] * planes
         txs = [tx] * planes
         for tr, group in variants:
-            if tr * group * planes > 8192:
+            if tr * group * planes > 4096:
                 continue
 
             def step(c, args, tr=tr, group=group):
