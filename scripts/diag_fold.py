@@ -79,7 +79,7 @@ def _diag_kernel(ts_ref, meta_ref, g_ref, *refs, tr, group, planes, h, w,
                 meta_cp(r0 + q, q).start()
                 g_cp(r0 + q, q).start()
 
-        def body(k, _):
+        def chunk_work(k):
             slot = jax.lax.rem(k, nbuf)
 
             @pl.when(k + nbuf - 1 < n)
@@ -94,6 +94,31 @@ def _diag_kernel(ts_ref, meta_ref, g_ref, *refs, tr, group, planes, h, w,
             if "nobody" in mode:
                 # keep the DMAs + loop alive, skip all compute
                 s_acc[0, 0:CHUNK] += s_g[slot, 0:CHUNK].astype(jnp.float32)
+                return 0
+            if "trans" in mode:
+                # TRANSPOSED build: per-j [tr, CHUNK] one-hot via a
+                # sublane iota against the [1, CHUNK] lane-resident row —
+                # no [:, None] relayout, and the scatter matmul becomes a
+                # standard ((1,),(0,)) contraction (no oh relayout)
+                for p in range(planes):
+                    g_blk = s_g[slot, p * CHUNK:(p + 1) * CHUNK]
+                    upd = None
+                    for j in range(SUB):
+                        row = blk[SUB * p + j].astype(jnp.int32)[None, :]
+                        ohT = (jax.lax.broadcasted_iota(
+                            jnp.int32, (tr, CHUNK), 0) + base
+                            == row).astype(jnp.bfloat16)
+                        g_tile = jnp.dot(g_blk, tilers[j],
+                                         preferred_element_type=jnp.float32)
+                        tx = blk[SUB * (planes + p) + j][:, None]
+                        ty = blk[8 * planes + j][:, None]
+                        wx = jnp.where(x_hi, tx, 1.0 - tx)
+                        wy = jnp.where(y_hi, ty, 1.0 - ty)
+                        gw_j = (wx * wy * g_tile).astype(jnp.bfloat16)
+                        d = jnp.dot(ohT, gw_j,
+                                    preferred_element_type=jnp.float32)
+                        upd = d if upd is None else upd + d
+                    s_acc[p, g * tr:(g + 1) * tr] += upd
                 return 0
             for p in range(planes):
                 g_blk = s_g[slot, p * CHUNK:(p + 1) * CHUNK]
@@ -123,8 +148,10 @@ def _diag_kernel(ts_ref, meta_ref, g_ref, *refs, tr, group, planes, h, w,
                         gws.append((wx * wy * g_tile).astype(jnp.bfloat16))
                 gw = jnp.concatenate(gws, axis=0)
                 if "nomm" in mode:
-                    s_acc[p, 0:SC] += gw.astype(jnp.float32) + ohs[0][
-                        0:SC if SC <= CHUNK else CHUNK, 0:1] * 0.0
+                    s_acc[p, 0:SC] += gw.astype(jnp.float32)
+                    # keep the one-hot build alive (shape-matched slice)
+                    s_acc[p, 0:CHUNK] += ohs[0][:, 0:LANES].astype(
+                        jnp.float32)
                 else:
                     oh = jnp.concatenate(ohs, axis=0)
                     s_acc[p, g * tr:(g + 1) * tr] += jax.lax.dot_general(
@@ -134,7 +161,24 @@ def _diag_kernel(ts_ref, meta_ref, g_ref, *refs, tr, group, planes, h, w,
                     )
             return 0
 
-        jax.lax.fori_loop(0, n, body, 0)
+        if "u2" in mode:
+            # two superchunks per loop iteration: halves the fori_loop
+            # bookkeeping (NOT the DMA count) to isolate loop overhead
+            def body(u, _):
+                chunk_work(u * 2)
+
+                @pl.when(u * 2 + 1 < n)
+                def _():
+                    chunk_work(u * 2 + 1)
+                return 0
+
+            jax.lax.fori_loop(0, (n + 1) // 2, body, 0)
+        else:
+            def body(k, _):
+                chunk_work(k)
+                return 0
+
+            jax.lax.fori_loop(0, n, body, 0)
 
     halo = w + 1
     fc_main = min(512, tg)
@@ -285,6 +329,9 @@ def main():
         frozenset({"noweights"}),         # remove wx*wy weighting
         frozenset({"nomm"}),              # remove the scatter matmul
         frozenset({"nobody"}),            # DMA + loop only
+        frozenset({"trans"}),             # transposed one-hot + std matmul
+        frozenset({"u2"}),                # 2 superchunks per loop iter
+        frozenset({"u2", "nobody"}),      # unrolled DMA+loop floor
     ]
     which = sys.argv[1:] or None
     for mode in modes:

@@ -76,6 +76,26 @@ def _onehot_block(meta, base, tr):
     return jnp.concatenate(ohs, axis=0), jnp.concatenate(masks, axis=1)
 
 
+def _scatter_T(rows, gws, base, tr: int):
+    """sum_j onehot_T(rows[j]) @ gws[j] -> [tr, LANES] f32.
+
+    Per-sub-chunk TRANSPOSED one-hots [tr, CHUNK], built from the
+    lane-resident [CHUNK] i32 row vectors as-is (no [CHUNK, 1] sublane
+    relayout) and fed to STANDARD ((1,), (0,)) matmul contractions.
+    The previous [SC, tr] build fed a ((0,), (0,)) contraction that
+    relayouts the full one-hot every iteration (diag_fold 'trans'
+    ablation, PERF.md); a single fused [tr, SC] one-hot would need a
+    [1, SC] lane concat, which Mosaic rejects ("result/input offset
+    mismatch on non-concat dimension")."""
+    upd = None
+    for r, gw_j in zip(rows, gws):
+        ohT = (jax.lax.broadcasted_iota(jnp.int32, (tr, CHUNK), 0) + base
+               == r[None, :]).astype(jnp.bfloat16)
+        d = jnp.dot(ohT, gw_j, preferred_element_type=jnp.float32)
+        upd = d if upd is None else upd + d
+    return upd
+
+
 def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int,
                 grid_n: int):
     """Multi-plane gather: mirrors _bwd_kernel's stripe/group structure.
@@ -154,6 +174,12 @@ def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int,
 
             meta_cp(r0 + k, slot).wait()
             blk = s_meta[slot]
+            # shared-ty corner weights: plane-independent, built once per
+            # super-chunk instead of once per (plane, sub-chunk)
+            wys = []
+            for j in range(SUB):
+                ty = blk[8 * planes + j][:, None]
+                wys.append(jnp.where(y_hi, ty, 1.0 - ty))
             blocks, masks = [], []
             for p in range(planes):
                 tile = table_refs[p][g * tr:(g + 1) * tr]
@@ -166,13 +192,11 @@ def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int,
                     rows = jnp.dot(oh, tile,
                                    preferred_element_type=jnp.float32)
                     tx = blk[SUB * (planes + p) + j][:, None]
-                    ty = blk[8 * planes + j][:, None]
                     wx = jnp.where(x_hi, tx, 1.0 - tx)
-                    wy = jnp.where(y_hi, ty, 1.0 - ty)
                     # weighted corner rows folded to FEAT lanes on the MXU
                     # (f32: an extra bf16 round here visibly degrades the
                     # lerp vs the XLA reference)
-                    vals.append(jnp.dot(rows * wx * wy, fold,
+                    vals.append(jnp.dot(rows * wx * wys[j], fold,
                                         preferred_element_type=jnp.float32))
                     m = ((d2 >= 0) & (d2 < tr)).astype(jnp.float32)
                     ms.append(jnp.broadcast_to(m, (CHUNK, FEAT)))
@@ -342,35 +366,32 @@ def _bwd_kernel(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
             meta_cp(r0 + k, slot).wait()
             g_cp(r0 + k, slot).wait()
             blk = s_meta[slot]
+            # shared-ty corner weights: plane-independent, built once
+            wys = []
+            for j in range(SUB):
+                ty = blk[8 * planes + j][:, None]
+                wys.append(jnp.where(y_hi, ty, 1.0 - ty))
             for p in range(planes):
                 g_blk = s_g[slot, p * CHUNK:(p + 1) * CHUNK]  # [CHUNK, LANES]
-                ohs, gws = [], []
+                rows, gws = [], []
                 for j in range(SUB):
-                    idx = blk[SUB * p + j].astype(jnp.int32)[:, None]
-                    d2 = (idx >> shift) - base
-                    ohs.append((d2 == jax.lax.broadcasted_iota(
-                        jnp.int32, (CHUNK, tr), 1)).astype(jnp.bfloat16))
+                    idxr = blk[SUB * p + j].astype(jnp.int32)  # [CHUNK] lanes
+                    rows.append(idxr >> shift)
                     tx = blk[SUB * (planes + p) + j][:, None]
-                    ty = blk[8 * planes + j][:, None]
                     g_tile = jnp.dot(g_blk, tilers[j],
                                      preferred_element_type=jnp.float32)
                     wx = jnp.where(x_hi, tx, 1.0 - tx)        # [CHUNK, LANES]
-                    wy = jnp.where(y_hi, ty, 1.0 - ty)
-                    gw_j = wx * wy * g_tile
+                    gw_j = wx * wys[j] * g_tile
                     if g_pack > 1:
                         # place into the point's packed lane slot
-                        gw_j = jnp.where(lane_grp == (idx & (g_pack - 1)),
-                                         gw_j, 0.0)
+                        gw_j = jnp.where(
+                            lane_grp == (idxr[:, None] & (g_pack - 1)),
+                            gw_j, 0.0)
                     gws.append(gw_j.astype(jnp.bfloat16))
-                # sublane concats (cheap, unlike lane concats) -> ONE matmul
-                # and ONE VMEM read-modify-write of the grad block per plane
-                oh = jnp.concatenate(ohs, axis=0)             # [SC, tr]
-                gw = jnp.concatenate(gws, axis=0)             # [SC, LANES]
-                grad_refs[p][g * tr:(g + 1) * tr] += jax.lax.dot_general(
-                    oh, gw,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                # per-sub-chunk transposed matmuls, ONE VMEM
+                # read-modify-write of the grad block per plane
+                grad_refs[p][g * tr:(g + 1) * tr] += _scatter_T(
+                    rows, gws, base, tr)
             return 0
 
         jax.lax.fori_loop(0, n, body, 0)
@@ -459,28 +480,23 @@ def _bwd_kernel_fold(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
             meta_cp(r0 + k, slot).wait()
             g_cp(r0 + k, slot).wait()
             blk = s_meta[slot]
+            # shared-ty corner weights: plane-independent, built once
+            wys = []
+            for j in range(SUB):
+                ty = blk[8 * planes + j][:, None]
+                wys.append(jnp.where(y_hi, ty, 1.0 - ty))
             for p in range(planes):
                 g_blk = s_g[slot, p * CHUNK:(p + 1) * CHUNK]  # [CHUNK, LANES]
-                ohs, gws = [], []
+                rows, gws = [], []
                 for j in range(SUB):
-                    idx = blk[SUB * p + j].astype(jnp.int32)[:, None]
-                    d2 = idx - base
-                    ohs.append((d2 == jax.lax.broadcasted_iota(
-                        jnp.int32, (CHUNK, tr), 1)).astype(jnp.bfloat16))
+                    rows.append(blk[SUB * p + j].astype(jnp.int32))
                     tx = blk[SUB * (planes + p) + j][:, None]
-                    ty = blk[8 * planes + j][:, None]
                     g_tile = jnp.dot(g_blk, tilers[j],
                                      preferred_element_type=jnp.float32)
                     wx = jnp.where(x_hi, tx, 1.0 - tx)
-                    wy = jnp.where(y_hi, ty, 1.0 - ty)
-                    gws.append((wx * wy * g_tile).astype(jnp.bfloat16))
-                oh = jnp.concatenate(ohs, axis=0)             # [SC, tr]
-                gw = jnp.concatenate(gws, axis=0)             # [SC, LANES]
-                s_acc[p, g * tr:(g + 1) * tr] += jax.lax.dot_general(
-                    oh, gw,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                    gws.append((wx * wys[j] * g_tile).astype(jnp.bfloat16))
+                s_acc[p, g * tr:(g + 1) * tr] += _scatter_T(
+                    rows, gws, base, tr)
             return 0
 
         jax.lax.fori_loop(0, n, body, 0)
@@ -498,17 +514,31 @@ def _bwd_kernel_fold(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
         jax.lax.broadcasted_iota(jnp.int32, (LANES, FEAT), 0) % feat
         == jax.lax.broadcasted_iota(jnp.int32, (LANES, FEAT), 1)
     ).astype(jnp.float32)
+    w_pow2 = w & (w - 1) == 0
 
     def lmask(q):
         return (lane_q == q).astype(jnp.float32)          # [1, LANES]
 
-    def fold_window(acc, s0, fc):
-        """dP rows [s0, s0+fc) of this block from the packed accumulator."""
+    def win_masks(s0, fc):
+        """Per-shift [fc, LANES] masks (rows select by dest column/row,
+        lanes by quadrant) — plane-independent, built ONCE per window
+        (the mask build dominated the fold stage when it ran per plane:
+        diag_fold ablation, PERF.md)."""
         gi = jax.lax.broadcasted_iota(jnp.int32, (fc, 1), 0) + b * tg + s0
-        col = jax.lax.rem(gi, w)
+        col = (gi & (w - 1)) if w_pow2 else jax.lax.rem(gi, w)
         nc0 = jnp.where(col == 0, 0.0, 1.0)               # [fc, 1]
         cwm = jnp.where(col == w - 1, 1.0, 0.0)
         rh = jnp.where(gi >= (h - 1) * w, 1.0, 0.0)
+        m0 = lmask(0) + cwm * lmask(1) + rh * lmask(2) + (rh * cwm) * lmask(3)
+        m1 = nc0 * (lmask(1) + rh * lmask(3))
+        mw = lmask(2) + cwm * lmask(3)
+        mw1 = nc0 * lmask(3)
+        return m0, m1, mw, mw1
+
+    def fold_window(p, s0, fc, masks):
+        """dP rows [s0, s0+fc) of this block from plane p's accumulator
+        (windowed ref slices: never loads the whole [tg, LANES] block)."""
+        m0, m1, mw, mw1 = masks
         # source rows [s0-halo, s0+fc), zero-padded outside [0, tg)
         parts = []
         lo = s0 - halo
@@ -517,7 +547,7 @@ def _bwd_kernel_fold(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
             lo = 0
         hi = min(s0 + fc, tg)
         if hi > lo:
-            parts.append(acc[lo:hi])
+            parts.append(s_acc[p, lo:hi])
         if s0 + fc > tg:
             parts.append(jnp.zeros((s0 + fc - tg, LANES), jnp.float32))
         src = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
@@ -525,19 +555,14 @@ def _bwd_kernel_fold(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
         def sh(sft):  # dest-local: out[i] = src_at_row(s0 + i - sft)
             return src[halo - sft:halo - sft + fc]
 
-        # per-shift masks: rows select by dest column/row, lanes by quadrant
-        m0 = lmask(0) + cwm * lmask(1) + rh * lmask(2) + rh * cwm * lmask(3)
-        m1 = nc0 * (lmask(1) + rh * lmask(3))
-        mw = lmask(2) + cwm * lmask(3)
-        mw1 = nc0 * lmask(3)
         outv = sh(0) * m0 + sh(1) * m1 + sh(w) * mw + sh(w + 1) * mw1
         return jnp.dot(outv, efold, preferred_element_type=jnp.float32)
 
-    for p in range(planes):
-        acc = s_acc[p]
-        for s0 in range(0, tg, fc_main):
-            fc = min(fc_main, tg - s0)
-            outv = fold_window(acc, s0, fc)
+    for s0 in range(0, tg, fc_main):
+        fc = min(fc_main, tg - s0)
+        masks = win_masks(s0, fc)
+        for p in range(planes):
+            outv = fold_window(p, s0, fc, masks)
             if s0 < spill_pad:
                 # earlier blocks' halo contributions to these rows
                 ce = min(spill_pad, s0 + fc)
@@ -548,9 +573,11 @@ def _bwd_kernel_fold(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
                                           jnp.float32)], axis=0)
                 outv = outv + cpart
             out_main[p][s0:s0 + fc] = outv
-        # this block's halo (dest rows [tg, tg+spill_pad)); any carry rows
-        # past tg haven't landed yet and roll forward another block
-        sb = fold_window(acc, tg, spill_pad)
+    # this block's halo (dest rows [tg, tg+spill_pad)); any carry rows
+    # past tg haven't landed yet and roll forward another block
+    masks_sp = win_masks(tg, spill_pad)
+    for p in range(planes):
+        sb = fold_window(p, tg, spill_pad, masks_sp)
         if spill_pad > tg:
             sb = sb + jnp.concatenate(
                 [s_carry[p, tg:],
@@ -900,12 +927,10 @@ def _scatter_kernel(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
             g_cp(r0 + k, slot).wait()
             blk = s_meta[slot]
             g_blk = s_g[slot]
-            ohs, gws = [], []
+            rows, gws = [], []
             for j in range(SUB):
-                idx = blk[j].astype(jnp.int32)[:, None]
-                d2 = (idx >> shift) - base
-                ohs.append((d2 == jax.lax.broadcasted_iota(
-                    jnp.int32, (CHUNK, tr), 1)).astype(jnp.bfloat16))
+                idxr = blk[j].astype(jnp.int32)               # [CHUNK] lanes
+                rows.append(idxr >> shift)
                 if g_pack == 1:
                     # full-line updates: g rows are already in place
                     gws.append(g_blk[j * CHUNK:(j + 1) * CHUNK])
@@ -913,15 +938,11 @@ def _scatter_kernel(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
                     g_tile = jnp.dot(g_blk, tilers[j],
                                      preferred_element_type=jnp.float32)
                     gws.append(jnp.where(
-                        lane_grp == (idx & (g_pack - 1)), g_tile, 0.0
+                        lane_grp == (idxr[:, None] & (g_pack - 1)),
+                        g_tile, 0.0
                     ).astype(jnp.bfloat16))
-            oh = jnp.concatenate(ohs, axis=0)                 # [SC, tr]
-            gw = jnp.concatenate(gws, axis=0)                 # [SC, LANES]
-            out_ref[g * tr:(g + 1) * tr] += jax.lax.dot_general(
-                oh, gw,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            out_ref[g * tr:(g + 1) * tr] += _scatter_T(
+                rows, gws, base, tr)
             return 0
 
         jax.lax.fori_loop(0, n, body, 0)
