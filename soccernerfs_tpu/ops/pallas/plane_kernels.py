@@ -102,8 +102,12 @@ def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int,
 
     The lerp runs in-kernel: each point's [CHUNK, LANES] one-hot matmul row
     holds the 2x2 corner block; the corner weights are lane-masked selects
-    and the 4*FEAT block is reduced to FEAT lanes with a folding matmul
-    (out = rows_weighted @ FOLD, FOLD[l, f] = (l % FEAT == f)).
+    and the 4*FEAT block is reduced to FEAT lanes placed directly in the
+    sub-chunk's lane group by a BLOCK-PLACED fold matmul
+    (out += rows_weighted @ FOLD_j, FOLD_j[l, o] = (l % FEAT == o % FEAT)
+    & (o // FEAT == j)) — full 128-lane MXU width, and the per-sub-chunk
+    [CHUNK, FEAT] lane concat disappears (diag_fwd: the narrow fold
+    matmuls were 1.06 ms of a 4.29 ms call).
 
     meta block rows: [0:4P) quad row ids, [4P:8P) tx, [8P:8P+4) shared ty.
     Outputs: one [S, CHUNK, LANES] feature array per plane, lane group j
@@ -129,9 +133,13 @@ def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int,
     b = pl.program_id(0)
     nbuf = s_meta.shape[0]
 
-    lane_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, FEAT), 0)
-    lane_o = jax.lax.broadcasted_iota(jnp.int32, (LANES, FEAT), 1)
-    fold = (lane_i % FEAT == lane_o).astype(jnp.float32)      # [LANES, FEAT]
+    lane_ii = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    lane_oo = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    folds = [
+        ((lane_ii % FEAT == lane_oo % FEAT)
+         & (lane_oo // FEAT == j)).astype(jnp.float32)        # [LANES, LANES]
+        for j in range(SUB)
+    ]
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     x_hi = (lane1 // FEAT) % 2 == 1
     y_hi = lane1 // (2 * FEAT) == 1
@@ -180,10 +188,10 @@ def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int,
             for j in range(SUB):
                 ty = blk[8 * planes + j][:, None]
                 wys.append(jnp.where(y_hi, ty, 1.0 - ty))
-            blocks, masks = [], []
+            blocks = []
             for p in range(planes):
                 tile = table_refs[p][g * tr:(g + 1) * tr]
-                vals, ms = [], []
+                block = None
                 for j in range(SUB):
                     idx = blk[SUB * p + j].astype(jnp.int32)[:, None]
                     d2 = idx - base
@@ -193,27 +201,28 @@ def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int,
                                    preferred_element_type=jnp.float32)
                     tx = blk[SUB * (planes + p) + j][:, None]
                     wx = jnp.where(x_hi, tx, 1.0 - tx)
-                    # weighted corner rows folded to FEAT lanes on the MXU
+                    # weighted corner rows folded + block-placed on the MXU
                     # (f32: an extra bf16 round here visibly degrades the
-                    # lerp vs the XLA reference)
-                    vals.append(jnp.dot(rows * wx * wys[j], fold,
-                                        preferred_element_type=jnp.float32))
-                    m = ((d2 >= 0) & (d2 < tr)).astype(jnp.float32)
-                    ms.append(jnp.broadcast_to(m, (CHUNK, FEAT)))
-                blocks.append(jnp.concatenate(vals, axis=1))  # [CHUNK, LANES]
-                masks.append(jnp.concatenate(ms, axis=1))
+                    # lerp vs the XLA reference).  Out-of-stripe and padded
+                    # points have all-zero one-hot rows, so their slots are
+                    # exactly zero — no validity mask is needed anywhere.
+                    v = jnp.dot(rows * wx * wys[j], folds[j],
+                                preferred_element_type=jnp.float32)
+                    block = v if block is None else block + v
+                blocks.append(block)                          # [CHUNK, LANES]
 
             rowk = r0 + k
             pend = s_state[0]
 
             @pl.when(pend == rowk + 1)
             def _():
-                # same output block as the previous chunk: merge in VMEM
+                # same output block as the previous chunk: merge in VMEM.
+                # Each point's slot is written by exactly one stripe and
+                # foreign/padded slots are exactly zero, so ADDITION is the
+                # masked select (kills the mask build + concat entirely)
                 act = jax.lax.rem(s_state[1], 2)
                 for p in range(planes):
-                    s_pend[act, p] = jnp.where(
-                        masks[p] > 0.5, blocks[p], s_pend[act, p]
-                    )
+                    s_pend[act, p] += blocks[p]
 
             @pl.when(pend != rowk + 1)
             def _():
