@@ -539,11 +539,19 @@ def hash_grid_encode(
 
 def temporal_tv_loss(cfg: HashGridConfig, params: dict, rng: jax.Array) -> jnp.ndarray:
     """TV between a random pair of adjacent temporal channels
-    (ref: temporal_grid.py:352-377)."""
+    (ref: temporal_grid.py:352-377).
+
+    The channel pair is extracted with a row-major matvec against a
+    one-hot difference vector, NOT ``jnp.take(..., axis=1)``: a column
+    gather (and its scatter transpose) makes XLA layout-assign
+    channel-major copies of the whole table — at nerfplayer-nerfacto
+    scale three ~1.6 GB transposed copies of the [5.7M, 66] embeddings
+    that pushed the step over HBM."""
     _, _, _, index_list = temporal_tables(cfg)
     row_idx = jax.random.randint(rng, (), 0, index_list.shape[0])
     feat_idx = jnp.take(jnp.asarray(index_list), row_idx, axis=0)
     table = params["embeddings"]
-    a = jnp.take(table, feat_idx[0], axis=1)
-    b = jnp.take(table, feat_idx[1], axis=1)
-    return jnp.mean(jnp.abs(a - b))
+    ch = jnp.arange(table.shape[1], dtype=feat_idx.dtype)
+    sel = ((ch == feat_idx[0]).astype(table.dtype)
+           - (ch == feat_idx[1]).astype(table.dtype))
+    return jnp.mean(jnp.abs(table @ sel))
