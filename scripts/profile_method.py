@@ -63,7 +63,13 @@ def main(method: str, n_steps: int = 6) -> None:
     for step in range(10):
         m = trainer.train_iteration(step)
     float(jax.device_get(m["Train Loss"]))
-    with jax.profiler.trace("/tmp/snt_trace"):
+    import shutil
+    shutil.rmtree("/tmp/snt_trace", ignore_errors=True)  # stale traces
+    # host python events flood the 1M-event trace cap before any device
+    # event lands (the Trainer's host loop is chatty) — disable them
+    opts = jax.profiler.ProfileOptions()
+    opts.python_tracer_level = 0
+    with jax.profiler.trace("/tmp/snt_trace", profiler_options=opts):
         for step in range(10, 10 + n_steps):
             m = trainer.train_iteration(step)
         float(jax.device_get(m["Train Loss"]))

@@ -332,11 +332,34 @@ def _hash_level_apply(lvl_table, idxs, ws):
     return op(lvl_table, idxs, ws)
 
 
+def _window_pick(acc, ch_a, w_a, ch_b, w_b):
+    """w_a * acc[:, ch_a] + w_b * acc[:, ch_b] per output channel, as one
+    fused compare-select REDUCTION per channel over the [B, C_row] rows.
+
+    jnp.take_along_axis lowers to per-row gathers on TPU — it was 5.06 s
+    of a 7.5 s nerfplayer step (scripts/profile_method.py); the
+    compare-select form streams ``acc`` through the VPU instead."""
+    C = acc.shape[-1]
+    ch_i = jnp.arange(C, dtype=ch_a.dtype)[None, :]
+    cols = []
+    for l in range(ch_a.shape[-1]):
+        sel = (w_a[:, l:l + 1] * (ch_a[:, l:l + 1] == ch_i)
+               + w_b[:, l:l + 1] * (ch_b[:, l:l + 1] == ch_i))
+        cols.append(jnp.sum(sel * acc, axis=-1))
+    return jnp.stack(cols, axis=-1)
+
+
 def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
-    """Temporal sliding-window variant of _hash_level_apply: per corner,
-    gather [B, row_channels] rows, interpolate the two active temporal
-    channels, weight and sum — with the sorted-scatter backward for the
-    table gradient (channels padded to a power of two for row-packing).
+    """Temporal sliding-window variant of _hash_level_apply.
+
+    The window interpolation is LINEAR in the gathered rows and its
+    picks (ch_a/w_a/ch_b/w_b) do not depend on the corner, so the
+    corner-weighted row sum accumulates FIRST in row space
+    ([B, row_channels]) and the channel pick runs ONCE per level instead
+    of once per corner (and never via take_along_axis — see
+    _window_pick).  The per-corner table gradient is ws[k] * u for one
+    shared u = d(out)/d(acc), so when the transient fits the residual
+    cap all corners merge into a single sort + sorted-scatter pass.
 
     Args:
         lvl_table: [rows, C_row] f32; idxs: [K, B] int32 local rows.
@@ -349,18 +372,29 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
     rows, c_row = lvl_table.shape
     c_pad = _temporal_row_pad(c_row)
 
+    # the [B, row_channels] f32 corner accumulator costs B*C_row*4 bytes
+    # (528 MB at nerfplayer-ngp-complete scale — it alone pushed the step
+    # over HBM); big levels pick per corner instead (the pick is linear,
+    # both orders are exact)
+    _acc_small = idxs.shape[1] * c_row * 4 <= _RESIDUAL_BYTES_CAP
+
     @jax.custom_vjp
     def op(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
-        # bf16 row gathers (f32 weights promote the lerp back to f32):
+        # bf16 row gathers (f32 weights promote the sum back to f32):
         # halves the dominant [B, row_channels] streams — at NGP sample
         # counts (2M points) these are the step's biggest buffers
         t16 = lvl_table.astype(jnp.bfloat16)
+        if _acc_small:
+            acc = 0.0
+            for k in range(idxs.shape[0]):
+                acc = acc + ws[k][:, None] * jnp.take(
+                    t16, idxs[k], axis=0, mode="clip")
+            return _window_pick(acc, ch_a, w_a, ch_b, w_b)
         out = 0.0
         for k in range(idxs.shape[0]):
-            feats = jnp.take(t16, idxs[k], axis=0, mode="clip")
-            fa = jnp.take_along_axis(feats, ch_a, axis=-1)
-            fb = jnp.take_along_axis(feats, ch_b, axis=-1)
-            out = out + ws[k][:, None] * (w_a * fa + w_b * fb)
+            feats_k = jnp.take(t16, idxs[k], axis=0, mode="clip")
+            out = out + ws[k][:, None] * _window_pick(
+                feats_k, ch_a, w_a, ch_b, w_b)
         return out
 
     def op_fwd(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
@@ -374,34 +408,77 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
 
         lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b = res
         K, B = idxs.shape
-        ch_iota = jnp.arange(c_row, dtype=ch_a.dtype)
-        oh_a = (ch_a[..., None] == ch_iota).astype(g.dtype)   # [B, L, C]
-        oh_b = (ch_b[..., None] == ch_iota).astype(g.dtype)
-        d_table = jnp.zeros((rows, c_row), jnp.float32)
-        d_wa = 0.0
-        d_wb = 0.0
-        d_ws = []
-        iota = jnp.arange(B, dtype=jnp.int32)
+        ch_i = jnp.arange(c_row, dtype=ch_a.dtype)[None, :]
         t16 = lvl_table.astype(jnp.bfloat16)
-        for k in range(K):
-            feats_k = jnp.take(t16, idxs[k], axis=0, mode="clip")
-            fa = jnp.take_along_axis(feats_k, ch_a, axis=-1)  # [B, L]
-            fb = jnp.take_along_axis(feats_k, ch_b, axis=-1)
-            d_interp = ws[k][:, None] * g                     # [B, L]
-            d_wa = d_wa + fa * d_interp
-            d_wb = d_wb + fb * d_interp
-            d_ws.append(jnp.einsum("bl,bl->b", g, w_a * fa + w_b * fb))
-            d_feats = (
-                jnp.einsum("bl,blc->bc", d_interp * w_a, oh_a)
-                + jnp.einsum("bl,blc->bc", d_interp * w_b, oh_b)
+        # u[b, c] = sum_l g[b, l] (w_a 1[ch_a==c] + w_b 1[ch_b==c]):
+        # d(out)/d(acc), shared by every corner
+        u = 0.0
+        for l in range(g.shape[-1]):
+            gl = g[:, l:l + 1]
+            u = u + gl * (
+                w_a[:, l:l + 1] * (ch_a[:, l:l + 1] == ch_i)
+                + w_b[:, l:l + 1] * (ch_b[:, l:l + 1] == ch_i)
             )
+        # d_w{a,b}[b, l] = g[b, l] * acc[b, ch_{a,b}[b, l]]; at big B the
+        # [B, C_row] f32 acc is not materialized — per-corner picks are
+        # summed instead (linear in the corner sum)
+        d_ws = []
+        if _acc_small:
+            acc = 0.0
+            for k in range(K):
+                feats_k = jnp.take(t16, idxs[k], axis=0, mode="clip")
+                acc = acc + ws[k][:, None] * feats_k
+                d_ws.append(jnp.sum(feats_k.astype(u.dtype) * u, axis=-1))
+            da, db = [], []
+            for l in range(g.shape[-1]):
+                am = ch_a[:, l:l + 1] == ch_i
+                bm = ch_b[:, l:l + 1] == ch_i
+                da.append(g[:, l] * jnp.sum(jnp.where(am, acc, 0.0), -1))
+                db.append(g[:, l] * jnp.sum(jnp.where(bm, acc, 0.0), -1))
+        else:
+            da = [0.0] * g.shape[-1]
+            db = [0.0] * g.shape[-1]
+            for k in range(K):
+                feats_k = jnp.take(t16, idxs[k], axis=0, mode="clip")
+                d_ws.append(jnp.sum(feats_k.astype(u.dtype) * u, axis=-1))
+                for l in range(g.shape[-1]):
+                    am = ch_a[:, l:l + 1] == ch_i
+                    bm = ch_b[:, l:l + 1] == ch_i
+                    gk = g[:, l] * ws[k]
+                    da[l] = da[l] + gk * jnp.sum(
+                        jnp.where(am, feats_k, 0.0), -1)
+                    db[l] = db[l] + gk * jnp.sum(
+                        jnp.where(bm, feats_k, 0.0), -1)
+        d_wa = jnp.stack(da, axis=-1)
+        d_wb = jnp.stack(db, axis=-1)
+        merged = K * B * c_pad * 2 <= _RESIDUAL_BYTES_CAP
+        if merged:
+            # one sort + one kernel pass over all corners
+            gw = (ws[:, :, None] * u[None]).astype(jnp.bfloat16)
+            gw = gw.reshape(K * B, c_row)
             if c_pad > c_row:
-                d_feats = jnp.pad(d_feats, ((0, 0), (0, c_pad - c_row)))
-            idx_s, perm = jax.lax.sort((idxs[k], iota), num_keys=1)
-            gw_s = jnp.take(d_feats, perm, axis=0, mode="clip")
-            d_table = d_table + pk.sorted_scatter_add(
+                gw = jnp.pad(gw, ((0, 0), (0, c_pad - c_row)))
+            iota = jnp.arange(K * B, dtype=jnp.int32)
+            idx_s, perm = jax.lax.sort((idxs.reshape(K * B), iota),
+                                       num_keys=1)
+            gw_s = jnp.take(gw, perm, axis=0, mode="clip")
+            d_table = pk.sorted_scatter_add(
                 gw_s, idx_s, r=rows, c=c_pad, interpret=SCATTER_INTERPRET,
             )[:, :c_row]
+        else:
+            # bound peak memory: scatter per corner
+            d_table = jnp.zeros((rows, c_row), jnp.float32)
+            iota = jnp.arange(B, dtype=jnp.int32)
+            for k in range(K):
+                gw_k = (ws[k][:, None] * u).astype(jnp.bfloat16)
+                if c_pad > c_row:
+                    gw_k = jnp.pad(gw_k, ((0, 0), (0, c_pad - c_row)))
+                idx_s, perm = jax.lax.sort((idxs[k], iota), num_keys=1)
+                gw_s = jnp.take(gw_k, perm, axis=0, mode="clip")
+                d_table = d_table + pk.sorted_scatter_add(
+                    gw_s, idx_s, r=rows, c=c_pad,
+                    interpret=SCATTER_INTERPRET,
+                )[:, :c_row]
         zi = np.zeros(idxs.shape, dtype=jax.dtypes.float0)
         zc = np.zeros(ch_a.shape, dtype=jax.dtypes.float0)
         return (d_table.astype(lvl_table.dtype), zi, jnp.stack(d_ws),
@@ -525,14 +602,15 @@ def hash_grid_encode(
                 corner = pos0 + off
                 idx = _hash_index(corner, res, rows, cfg, dense) + offsets[lvl]
                 feats = jnp.take(table, idx, axis=0)  # [B, row_channels]
-            if cfg.temporal_dim > 0:
-                fa = jnp.take_along_axis(feats, ch_a, axis=-1)
-                fb = jnp.take_along_axis(feats, ch_b, axis=-1)
-                feats = w_a * fa + w_b * fb  # [B, level_dim]
             w = jnp.prod(
                 jnp.where(off[None, :] == 1, frac, 1.0 - frac), axis=-1, keepdims=True
             )
-            level_out = level_out + w * feats
+            level_out = level_out + w * feats         # [B, row_channels]
+        if cfg.temporal_dim > 0:
+            # the window pick is linear: accumulate corners in row space,
+            # pick once per level (and never via take_along_axis — see
+            # _window_pick)
+            level_out = _window_pick(level_out, ch_a, w_a, ch_b, w_b)
         outputs.append(level_out)
     return jnp.concatenate(outputs, axis=-1)
 
