@@ -42,6 +42,7 @@ from soccernerfs_tpu.ops.grid_sample import (
     plane_sample_fold_group,
     plane_sample_group_bwdsort,
     plane_sample_packed_group,
+    plane_sample_unpacked_group,
     quad_pack,
     sample_plane_bilinear,
     sample_plane_bilinear_packed,
@@ -108,19 +109,33 @@ def _use_sorted_sampler(ms_grids, allowed: bool = True) -> bool:
 
 
 def pack_grids_for_render(params: dict) -> dict:
-    """Quad-pack every plane table to bf16 ONCE per parameter snapshot.
+    """Stage every plane table as a bf16 gather copy ONCE per parameter
+    snapshot.
 
-    Training repacks inside each step (the pack is fused into the step and
-    the f32 packed table never materializes), but whole-image rendering
-    calls the forward once PER CHUNK — repacking ~1.8 GB of tables per
-    chunk dominated eval throughput.  The packed copies ride the params
-    dict under ``grids_packed`` and the samplers pick them up
+    Training restages inside each step, but whole-image rendering calls
+    the forward once PER CHUNK — restaging ~GBs of tables per chunk
+    dominated eval throughput.  Kernel-eligible big tables are stored
+    UNPACKED ([H*W, F] bf16 — the unpacked forward kernel gathers them
+    directly, 4x less snapshot memory than a quad-packed copy); small
+    tables and narrow proposal planes are quad-packed for the XLA gather
+    path.  The copies ride the params dict under ``grids_packed`` and the
+    samplers dispatch on their width
     (ref metric: TEST_RAYS_PER_SEC, pipelines/base_pipeline.py:343-352).
     """
-    packed = [
-        [quad_pack(g).astype(jnp.bfloat16) for g in grids]
-        for grids in params["grids"]
-    ]
+    from soccernerfs_tpu.ops.grid_sample import PALLAS_INTERPRET
+
+    def stage(g):
+        h, w, f = g.shape
+        if (
+            4 * f == 128
+            and h * w >= 65536
+            and w % 4 == 0
+            and (PALLAS_INTERPRET or jax.default_backend() == "tpu")
+        ):
+            return g.reshape(h * w, f).astype(jnp.bfloat16)
+        return quad_pack(g).astype(jnp.bfloat16)
+
+    packed = [[stage(g) for g in grids] for grids in params["grids"]]
     return {**params, "grids_packed": packed}
 
 
@@ -227,11 +242,19 @@ def canonical_sorted_features(
                 rowids.append(yc * w + xc)
                 txs.append(txf)
             if ms_packed is not None:
-                # render path: tables were packed once per snapshot
-                # (pack_grids_for_render); no backward, no per-call pack
-                feats = plane_sample_packed_group(
-                    sel_packed, rowids, txs, tyf, w=w
-                )
+                # render path: tables were staged once per snapshot
+                # (pack_grids_for_render); no backward, no per-call pack.
+                # Width says which staging: [R, F] unpacked (big tables,
+                # kernel gather) vs [R, 4F] quad-packed (XLA gather)
+                if sel_packed[0].shape[-1] == grids[members[0][0]].shape[-1]:
+                    feats = plane_sample_unpacked_group(
+                        sel_packed, rowids, txs, tyf,
+                        h=grids[members[0][0]].shape[0], w=w,
+                    )
+                else:
+                    feats = plane_sample_packed_group(
+                        sel_packed, rowids, txs, tyf, w=w
+                    )
             else:
                 # one group kernel per scale: members share shape + stripe
                 # axis; the custom-VJP boundary sits at the [H, W, F] grids

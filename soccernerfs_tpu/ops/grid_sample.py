@@ -229,19 +229,26 @@ def plane_sample_fold_group(
     planes = len(grids)
     tr, group = _fold_group_tiling(r, w, m, planes)
     tr_f, group_f = _fold_group_tiling(r, w, m, planes, fwd=True)
-    fwd_kernel = r >= 65536
+    # the unpacked forward needs 4 quad rows per 128-lane line (w % 4) and
+    # stripes cut on line boundaries (tr % 4 — tr % w == 0 gives it)
+    fwd_kernel = r >= 65536 and w % 4 == 0 and tr_f % 4 == 0
 
     @jax.custom_vjp
     def op(grids, rowids, txs, ty):
-        packeds = [quad_pack(g).astype(jnp.bfloat16) for g in grids]
         if fwd_kernel:
-            return pk.packed_bilerp_fwd_group(
-                packeds, rowids, txs, ty, tr=tr_f, group=group_f,
+            # big tables: gather the UNPACKED grid directly — the 4 corner
+            # one-hot matmuls cost the same MACs as the packed gather, the
+            # table DMA halves, and the XLA quad-pack pass (27% of
+            # streaming, ~8 ms/step at the reference workload) disappears
+            return pk.unpacked_bilerp_fwd_group(
+                [g.reshape(h * w, feat) for g in grids],
+                rowids, txs, ty, h=h, w=w, tr=tr_f, group=group_f,
                 interpret=interpret,
             )
         return [
-            _bilerp_rows(p, rowid, tx, ty, feat)
-            for p, rowid, tx in zip(packeds, rowids, txs)
+            _bilerp_rows(quad_pack(g).astype(jnp.bfloat16), rowid, tx, ty,
+                         feat)
+            for g, rowid, tx in zip(grids, rowids, txs)
         ]
 
     def op_fwd(grids, rowids, txs, ty):
@@ -331,6 +338,42 @@ def plane_sample_packed_group(
         _bilerp_rows(p, rowid, tx, ty, feat)
         for p, rowid, tx in zip(packeds, rowids, txs)
     ]
+
+
+def plane_sample_unpacked_group(
+    tables,
+    rowids,
+    txs,
+    ty: jnp.ndarray,
+    *,
+    h: int,
+    w: int,
+    interpret: bool | None = None,
+):
+    """No-grad forward sample of P big tables stored as bf16 UNPACKED
+    [h*w, F] copies — the render fast path for kernel-eligible planes.
+
+    pack_grids_for_render stores these instead of quad-packed copies (4x
+    less snapshot memory, half the per-chunk table DMA); the unpacked
+    forward kernel gathers them directly.  Callers guarantee kernel
+    eligibility (r >= 65536, 4F == 128, w % 4 == 0, TPU/interpret).
+
+    Args:
+        tables: P [h*w, F] bf16 tables; rowids/txs/ty as
+            plane_sample_fold_group (rows nondecreasing in stripes).
+    Returns:
+        list of P [M, F] f32 features in the given (sorted) order.
+    """
+    if interpret is None:
+        interpret = PALLAS_INTERPRET
+    from soccernerfs_tpu.ops.pallas import plane_kernels as pk
+
+    m = rowids[0].shape[0]
+    tr, group = _fold_group_tiling(h * w, w, m, len(tables), fwd=True)
+    return pk.unpacked_bilerp_fwd_group(
+        tables, rowids, txs, ty, h=h, w=w, tr=tr, group=group,
+        interpret=interpret,
+    )
 
 
 def plane_sample_group_bwdsort(

@@ -297,6 +297,318 @@ def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int,
                     flush_cp(slot, p, infl - 1).wait()
 
 
+def _fwd_kernel_unpacked(ts_ref, meta_ref, *refs, tr: int, group: int,
+                         planes: int, grid_n: int, h: int, w: int):
+    """Multi-plane gather from UNPACKED bf16 tables ([r/4, 128] lines, a
+    pure reshape of the [h*w, FEAT] grid) — the quad-packed table never
+    exists.
+
+    Each bilinear corner is its own one-hot matmul over a quarter-width
+    line range: corner (y0, x0) and (y0, x1) live in lines [0, tr/4] of
+    the stripe's tile, corners (y1, *) in lines [w/4, tr/4 + w/4] — so the
+    4 matmuls cost the same MACs as the packed kernel's single [SC, tr]
+    contraction, while the table DMA halves (bf16 64 B/quad-row vs the
+    packed 256 B) and the 8 ms XLA quad-pack pass disappears entirely
+    (PERF.md roofline: quad-pack ran at 27% of streaming).
+
+    Border replication (ref grid_sample padding_mode="border",
+    nerfstudio utils/interpolation.py:5-33) is exact:
+      * x border: rowids arrive with x0 <= w-2 unless the point clamps, in
+        which case tx carries the clamp; the +dx neighbor select uses
+        dx = (col < w-1) so the x1 corner re-reads the x0 cell;
+      * y border: the y1 corners fold into the y0 weights via
+        wy0 = 1 - ty*dy, wy1 = ty*dy with dy = (row < h-1) — no reads
+        outside the table, so the halo needs no zero-fill.
+
+    The tile (tr/4 + w/4 + 16 lines) streams through a manually
+    double-buffered VMEM scratch: tile t+1's DMA is issued before tile t
+    is processed (BlockSpec pipelining can't express the halo overlap).
+    Output/pending-merge machinery is identical to _fwd_kernel.
+    """
+    table_refs = refs[:planes]                  # HBM [lines_pad, 128] bf16
+    out_refs = refs[planes:2 * planes]
+    s_meta, s_tile, s_pend, s_state, sems, tsems, osems = refs[2 * planes:]
+    b = pl.program_id(0)
+    nbuf = s_meta.shape[0]
+    tr4 = tr // 4
+    w4 = w // 4
+    lt0 = s_tile.shape[2] - w4                  # tr4 + 16
+    n_tiles = grid_n * group
+
+    lane_ii = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    lane_oo = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    folds = [
+        ((lane_ii % FEAT == lane_oo % FEAT)
+         & (lane_oo // FEAT == j)).astype(jnp.float32)
+        for j in range(SUB)
+    ]
+    lanegrp = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) // FEAT
+    w_pow2 = w & (w - 1) == 0
+    hw_edge = (h - 1) * w
+
+    def meta_cp(sc_row, slot):
+        return pltpu.make_async_copy(meta_ref.at[sc_row], s_meta.at[slot],
+                                     sems.at[slot])
+
+    def tile_cp(t, slot, p):
+        return pltpu.make_async_copy(
+            table_refs[p].at[pl.ds(t * tr4, lt0 + w4)],
+            s_tile.at[slot, p], tsems.at[slot, p],
+        )
+
+    def flush_cp(slot, p, row):
+        return pltpu.make_async_copy(s_pend.at[slot, p], out_refs[p].at[row],
+                                     osems.at[slot, p])
+
+    @pl.when(b == 0)
+    def _():
+        s_state[0] = 0
+        s_state[1] = 0
+        s_state[2] = 0
+        s_state[3] = 0
+        for p in range(planes):
+            tile_cp(0, 0, p).start()
+
+    for g in range(group):
+        t = b * group + g
+        t_slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            for p in range(planes):
+                tile_cp(t + 1, jax.lax.rem(t + 1, 2), p).start()
+
+        for p in range(planes):
+            tile_cp(t, t_slot, p).wait()
+
+        start = ts_ref[t]
+        end = ts_ref[t + 1]
+        r0 = start // SC
+        n = jnp.maximum((end + SC - 1) // SC - r0, 0)
+        base = t * tr
+
+        for q in range(nbuf - 1):
+            @pl.when(q < n)
+            def _():
+                meta_cp(r0 + q, q).start()
+
+        def body(k, _):
+            slot = jax.lax.rem(k, nbuf)
+
+            @pl.when(k + nbuf - 1 < n)
+            def _():
+                meta_cp(r0 + k + nbuf - 1,
+                        jax.lax.rem(k + nbuf - 1, nbuf)).start()
+
+            meta_cp(r0 + k, slot).wait()
+            blk = s_meta[slot]
+            # y-border folded into the shared-ty weights (built once per
+            # super-chunk): wy1 = ty*dy vanishes on the last table row so
+            # the (y1, *) corners contribute nothing and never need reads
+            # past the table
+            wy0s, wy1s = [], []
+            for j in range(SUB):
+                ty = blk[8 * planes + j][:, None]
+                wy1s.append(ty)                 # per-plane dy applied below
+                wy0s.append(1.0 - ty)
+            blocks = []
+            for p in range(planes):
+                tlo = s_tile[t_slot, p, 0:lt0]
+                thi = s_tile[t_slot, p, w4:w4 + lt0]
+                block = None
+                for j in range(SUB):
+                    idx = blk[SUB * p + j].astype(jnp.int32)[:, None]
+                    d = idx - base
+                    col = (idx & (w - 1)) if w_pow2 else jax.lax.rem(idx, w)
+                    dxi = (col < w - 1).astype(jnp.int32)
+                    dyf = (idx < hw_edge).astype(jnp.float32)
+                    e01 = d + dxi
+                    dw = d + w
+                    ii = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, lt0), 1)
+                    oh00 = ((d >> 2) == ii).astype(jnp.bfloat16)
+                    oh01 = ((e01 >> 2) == ii).astype(jnp.bfloat16)
+                    oh10 = (((dw >> 2) - w4) == ii).astype(jnp.bfloat16)
+                    oh11 = ((((dw + dxi) >> 2) - w4) == ii).astype(jnp.bfloat16)
+                    r00 = jnp.dot(oh00, tlo, preferred_element_type=jnp.float32)
+                    r01 = jnp.dot(oh01, tlo, preferred_element_type=jnp.float32)
+                    r10 = jnp.dot(oh10, thi, preferred_element_type=jnp.float32)
+                    r11 = jnp.dot(oh11, thi, preferred_element_type=jnp.float32)
+                    tx = blk[SUB * (planes + p) + j][:, None]
+                    wy1 = wy1s[j] * dyf
+                    wy0 = 1.0 - wy1
+                    # lane-group masks select the corner's FEAT lanes within
+                    # its line; (d+w) % 4 == d % 4 (w % 4 == 0), so the x0
+                    # corners share one mask and the x1 corners the other.
+                    # UNLIKE the packed kernel, out-of-stripe slots are NOT
+                    # exactly zero here: a straddling super-chunk's next-tile
+                    # points (d >= tr) land in the halo lines and would be
+                    # double-counted by the pending merge — the in-stripe
+                    # test rides the lane-group masks for free
+                    ins = (d >= 0) & (d < tr)
+                    m0 = ((lanegrp == (d & 3)) & ins).astype(jnp.float32)
+                    m1 = ((lanegrp == (e01 & 3)) & ins).astype(jnp.float32)
+                    v = ((r00 * ((1.0 - tx) * wy0) + r10 * ((1.0 - tx) * wy1))
+                         * m0
+                         + (r01 * (tx * wy0) + r11 * (tx * wy1)) * m1)
+                    vb = jnp.dot(v, folds[j], preferred_element_type=jnp.float32)
+                    block = vb if block is None else block + vb
+                blocks.append(block)                          # [CHUNK, LANES]
+
+            rowk = r0 + k
+            pend = s_state[0]
+
+            @pl.when(pend == rowk + 1)
+            def _():
+                act = jax.lax.rem(s_state[1], 2)
+                for p in range(planes):
+                    s_pend[act, p] += blocks[p]
+
+            @pl.when(pend != rowk + 1)
+            def _():
+                @pl.when(pend != 0)
+                def _():
+                    fc = s_state[1]
+                    act = jax.lax.rem(fc, 2)
+                    for p in range(planes):
+                        flush_cp(act, p, pend - 1).start()
+
+                    @pl.when(act == 0)
+                    def _():
+                        s_state[2] = pend
+
+                    @pl.when(act == 1)
+                    def _():
+                        s_state[3] = pend
+
+                    s_state[1] = fc + 1
+                act2 = jax.lax.rem(s_state[1], 2)
+                infl = jnp.where(act2 == 0, s_state[2], s_state[3])
+
+                @pl.when(infl != 0)
+                def _():
+                    for p in range(planes):
+                        flush_cp(act2, p, infl - 1).wait()
+
+                    @pl.when(act2 == 0)
+                    def _():
+                        s_state[2] = 0
+
+                    @pl.when(act2 == 1)
+                    def _():
+                        s_state[3] = 0
+
+                for p in range(planes):
+                    s_pend[act2, p] = blocks[p]
+                s_state[0] = rowk + 1
+
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+    @pl.when(b == grid_n - 1)
+    def _():
+        pend = s_state[0]
+
+        @pl.when(pend != 0)
+        def _():
+            fc = s_state[1]
+            act = jax.lax.rem(fc, 2)
+            for p in range(planes):
+                flush_cp(act, p, pend - 1).start()
+
+            @pl.when(act == 0)
+            def _():
+                s_state[2] = pend
+
+            @pl.when(act == 1)
+            def _():
+                s_state[3] = pend
+
+        for slot in range(2):
+            infl = s_state[2 + slot]
+
+            @pl.when(infl != 0)
+            def _():
+                for p in range(planes):
+                    flush_cp(slot, p, infl - 1).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h", "w", "tr", "group", "interpret"))
+def unpacked_bilerp_fwd_group(tables, rowids, txs, ty, *, h: int, w: int,
+                              tr: int = 2048, group: int = 1,
+                              interpret: bool = False):
+    """Forward bilinear sample of P same-shaped UNPACKED planes sharing one
+    stripe axis, at stripe-sorted QUAD row ids (row = y0*w + x0); lerp and
+    border replication fused in-kernel (_fwd_kernel_unpacked).
+
+    Args:
+        tables: P [h*w, FEAT] tables (any float dtype, cast bf16) — the
+            grid itself, no quad-pack.
+        rowids: P [M] int32 quad row ids, nondecreasing in stripes of tr.
+        txs: P [M] f32 x fractions; ty: shared [M] f32 y fraction.
+    Returns:
+        list of P [M, FEAT] f32 features (in the sorted order).
+    """
+    planes = len(tables)
+    r = h * w
+    assert tables[0].shape == (r, FEAT)
+    assert w % 4 == 0 and tr % 4 == 0 and tr % w == 0
+    r_pad, grid = _grid_shape(r, tr, group)
+    tr4, w4 = tr // 4, w // 4
+    lt0 = tr4 + 16
+    lines_pad = r_pad // 4 + w4 + 16
+    tables_p = []
+    for t in tables:
+        t2 = t.astype(jnp.bfloat16).reshape(r // 4, LANES)
+        t2 = jnp.concatenate(
+            [t2, jnp.zeros((lines_pad - r // 4, LANES), jnp.bfloat16)], 0
+        )
+        tables_p.append(t2)
+    m = rowids[0].shape[0]
+    pad = (-m) % SC + SC
+    meta = jnp.concatenate(
+        [_rows(idx, float(r_pad + 1), pad) for idx in rowids]
+        + [_rows(tx, 0.0, pad) for tx in txs]
+        + [_rows(ty, 0.0, pad)],
+        axis=1,
+    )  # [S, 8P+4, CHUNK]
+    ts = tile_starts(rowids[0], r_pad, tr)
+    s_rows = meta.shape[0]
+
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel_unpacked, tr=tr, group=group,
+                          planes=planes, grid_n=grid, h=h, w=w),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]      # meta blocks
+            + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(planes)],
+            out_specs=tuple(
+                pl.BlockSpec(memory_space=pl.ANY) for _ in range(planes)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((NBUF, 8 * planes + SUB, CHUNK), jnp.float32),
+                pltpu.VMEM((2, planes, lt0 + w4, LANES), jnp.bfloat16),
+                pltpu.VMEM((2, planes, CHUNK, LANES), jnp.float32),
+                pltpu.SMEM((4,), jnp.int32),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.SemaphoreType.DMA((2, planes)),
+                pltpu.SemaphoreType.DMA((2, planes)),
+            ],
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((s_rows, CHUNK, LANES), jnp.float32)
+            for _ in range(planes)
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(ts, meta, *tables_p)
+    if planes == 1:
+        outs = (outs,) if not isinstance(outs, (tuple, list)) else outs
+    return [unpack_features(o, m) for o in outs]
+
+
 def _bwd_kernel(ts_ref, meta_ref, g_ref, *refs, tr: int, group: int,
                 planes: int,
                 feat: int = FEAT):

@@ -239,6 +239,114 @@ def test_bwdsorted_narrow_features_matches_reference():
         np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s, atol=3e-2)
 
 
+@pytest.mark.parametrize(
+    "h,w,m,planes,tr,group",
+    [
+        (25, 16, 700, 2, 32, 3),     # non-pow2 h, multi-block, boundary merges
+        (9, 8, 99, 1, 8, 2),         # tiny stripes, heavy borders
+        (20, 12, 900, 3, 24, 2),     # non-pow2 w (rem path), 3-plane group
+        (100, 16, 555, 1, 64, 1),    # time-plane aspect (h >> stripes rows)
+    ],
+)
+def test_fwd_unpacked_kernel_matches_packed_reference(h, w, m, planes, tr,
+                                                      group):
+    """unpacked_bilerp_fwd_group (no quad-pack, border folded into the
+    lerp weights) == take+lerp through the quad-packed bf16 table."""
+    rng = np.random.default_rng(31)
+    r = h * w
+    grids = [jnp.asarray(rng.standard_normal((h, w, 32), dtype=np.float32))
+             for _ in range(planes)]
+    # include exact border cells: y0 up to h-1 (ty=0 there), x0 up to w-1
+    y = np.sort(rng.uniform(0, h - 1, m).astype(np.float32))
+    y[:3] = h - 1                                 # bottom-row replicate
+    y.sort()
+    yc = y.astype(np.int32)
+    ty = jnp.asarray(y - yc)
+    rowids, txs = [], []
+    for _ in range(planes):
+        x = rng.uniform(0, w - 1, m).astype(np.float32)
+        x[:5] = w - 1                             # right-column replicate
+        xc = x.astype(np.int32)
+        rowids.append(jnp.asarray(yc * w + xc))
+        txs.append(jnp.asarray(x - xc))
+    outs = pk.unpacked_bilerp_fwd_group(
+        [g.reshape(r, 32) for g in grids], rowids, txs, ty,
+        h=h, w=w, tr=tr, group=group, interpret=True,
+    )
+    for g, idx, tx, out in zip(grids, rowids, txs, outs):
+        ref = _ref_lerp(gs.quad_pack(g), idx, tx, ty)
+        scale = np.abs(np.asarray(ref)).max()
+        np.testing.assert_allclose(
+            np.asarray(out) / scale, np.asarray(ref) / scale, atol=1e-2
+        )
+
+
+def test_render_staging_dispatch():
+    """pack_grids_for_render stores UNPACKED bf16 copies for
+    kernel-eligible tables and the sorted sampler consumes them (values
+    match the quad-packed render path)."""
+    rng = np.random.default_rng(33)
+    f, m = 32, 400
+    ms_grids = [kpf.init_plane_grids(jax.random.PRNGKey(8), f, (8, 12, 16, 5))]
+    pts = jnp.asarray(rng.uniform(-1, 1, (m, 4)).astype(np.float32))
+    params = {"grids": ms_grids}
+    staged = kpf.pack_grids_for_render(params)
+    # tiny fixture tables fall below the 65536-row bar: staging must be
+    # quad-packed there and values must match the non-staged path
+    for tbl, grid in zip(staged["grids_packed"][0], ms_grids[0]):
+        assert tbl.shape[-1] == 4 * grid.shape[-1]
+    out_staged, _, _ = kpf.canonical_sorted_features(
+        pts, ms_grids, concat_features=True,
+        ms_packed=staged["grids_packed"],
+    )
+    out_ref, _, _ = kpf.canonical_sorted_features(
+        pts, ms_grids, concat_features=True,
+    )
+    scale = np.abs(np.asarray(out_ref)).max()
+    np.testing.assert_allclose(
+        np.asarray(out_staged) / scale, np.asarray(out_ref) / scale,
+        atol=2e-2,
+    )
+
+
+def test_render_staging_unpacked_branch():
+    """canonical_sorted_features dispatches [R, F] staged tables to the
+    unpacked forward kernel and [R, 4F] ones to the packed XLA gather —
+    mixed within one call — with values matching the non-staged path.
+
+    Stages by w % 4 alone (the production size bar is a perf policy;
+    correctness of the dispatch is what's under test).  Resolution
+    (9, 12, 16, 5) puts the c1=0 planes (w=9) on the packed branch and
+    the rest (w=12/16) on the unpacked kernel.
+    """
+    rng = np.random.default_rng(34)
+    f, m = 32, 500
+    ms_grids = [kpf.init_plane_grids(jax.random.PRNGKey(9), f, (9, 12, 16, 5))]
+    pts = jnp.asarray(rng.uniform(-1, 1, (m, 4)).astype(np.float32))
+    staged = [
+        [
+            g.reshape(-1, g.shape[-1]).astype(jnp.bfloat16)
+            if g.shape[1] % 4 == 0
+            else gs.quad_pack(g).astype(jnp.bfloat16)
+            for g in grids
+        ]
+        for grids in ms_grids
+    ]
+    widths = {g.shape[1] % 4 == 0 for g in ms_grids[0]}
+    assert widths == {True, False}          # both branches exercised
+    out_staged, _, _ = kpf.canonical_sorted_features(
+        pts, ms_grids, concat_features=True, ms_packed=staged
+    )
+    out_ref, _, _ = kpf.canonical_sorted_features(
+        pts, ms_grids, concat_features=True
+    )
+    scale = np.abs(np.asarray(out_ref)).max()
+    np.testing.assert_allclose(
+        np.asarray(out_staged) / scale, np.asarray(out_ref) / scale,
+        atol=2e-2,
+    )
+
+
 def test_fwd_group_kernel_exact():
     """Multi-plane forward kernel (fused lerp) matches take+lerp."""
     rng = np.random.default_rng(9)
