@@ -129,7 +129,7 @@ def pack_grids_for_render(params: dict) -> dict:
         if (
             4 * f == 128
             and h * w >= 65536
-            and w % 4 == 0
+            and w % 32 == 0
             and (PALLAS_INTERPRET or jax.default_backend() == "tpu")
         ):
             return g.reshape(h * w, f).astype(jnp.bfloat16)

@@ -229,9 +229,11 @@ def plane_sample_fold_group(
     planes = len(grids)
     tr, group = _fold_group_tiling(r, w, m, planes)
     tr_f, group_f = _fold_group_tiling(r, w, m, planes, fwd=True)
-    # the unpacked forward needs 4 quad rows per 128-lane line (w % 4) and
-    # stripes cut on line boundaries (tr % 4 — tr % w == 0 gives it)
-    fwd_kernel = r >= 65536 and w % 4 == 0 and tr_f % 4 == 0
+    # the unpacked forward needs 4 quad rows per 128-lane line plus
+    # 8-line-provable tail offsets (Mosaic VMEM dynamic-slice rule):
+    # w % 32 gives w4 % 8, tr % 32 gives tr4 % 8 — every production plane
+    # width (64 * scale) qualifies
+    fwd_kernel = r >= 65536 and w % 32 == 0 and tr_f % 32 == 0
 
     @jax.custom_vjp
     def op(grids, rowids, txs, ty):

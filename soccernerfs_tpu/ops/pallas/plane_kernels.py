@@ -298,18 +298,20 @@ def _fwd_kernel(ts_ref, meta_ref, *refs, tr: int, group: int, planes: int,
 
 
 def _fwd_kernel_unpacked(ts_ref, meta_ref, *refs, tr: int, group: int,
-                         planes: int, grid_n: int, h: int, w: int):
-    """Multi-plane gather from UNPACKED bf16 tables ([r/4, 128] lines, a
-    pure reshape of the [h*w, FEAT] grid) — the quad-packed table never
-    exists.
+                         planes: int, grid_n: int, h: int, w: int,
+                         n_lines: int):
+    """Multi-plane gather from UNPACKED tables ([r/4, 128] lines — a FREE
+    bitcast reshape of the [h*w, FEAT] grid, any float dtype) — neither a
+    quad-packed nor a padded/bf16-staged table copy ever exists.
 
     Each bilinear corner is its own one-hot matmul over a quarter-width
     line range: corner (y0, x0) and (y0, x1) live in lines [0, tr/4] of
     the stripe's tile, corners (y1, *) in lines [w/4, tr/4 + w/4] — so the
     4 matmuls cost the same MACs as the packed kernel's single [SC, tr]
-    contraction, while the table DMA halves (bf16 64 B/quad-row vs the
-    packed 256 B) and the 8 ms XLA quad-pack pass disappears entirely
-    (PERF.md roofline: quad-pack ran at 27% of streaming).
+    contraction, while the XLA quad-pack pass (8 ms/step at 27% of
+    streaming, PERF.md roofline) disappears entirely.  f32 tables convert
+    to bf16 on-tile in VMEM (the conversion never touches HBM); bf16
+    staged tables (render path) pass through and halve the tile DMA.
 
     Border replication (ref grid_sample padding_mode="border",
     nerfstudio utils/interpolation.py:5-33) is exact:
@@ -320,19 +322,27 @@ def _fwd_kernel_unpacked(ts_ref, meta_ref, *refs, tr: int, group: int,
         wy0 = 1 - ty*dy, wy1 = ty*dy with dy = (row < h-1) — no reads
         outside the table, so the halo needs no zero-fill.
 
-    The tile (tr/4 + w/4 + 16 lines) streams through a manually
-    double-buffered VMEM scratch: tile t+1's DMA is issued before tile t
-    is processed (BlockSpec pipelining can't express the halo overlap).
-    Output/pending-merge machinery is identical to _fwd_kernel.
+    The tile window (win = tr/4 + 16 + w/4 lines) streams through a
+    manually double-buffered VMEM scratch: tile t+1's DMA is issued
+    before tile t is processed (BlockSpec pipelining can't express the
+    halo overlap).  A tile whose window would read past the table's
+    n_lines fetches from a per-plane TAIL buffer instead (the last win
+    real lines + win zero lines, built by the wrapper for ~270 KB) at a
+    dynamic offset — the main table needs no end padding, which is what
+    lets the wrapper pass the raw parameter grid.  Output/pending-merge
+    machinery is identical to _fwd_kernel.
     """
-    table_refs = refs[:planes]                  # HBM [lines_pad, 128] bf16
-    out_refs = refs[planes:2 * planes]
-    s_meta, s_tile, s_pend, s_state, sems, tsems, osems = refs[2 * planes:]
+    table_refs = refs[:planes]                  # HBM [n_lines, 128]
+    tail_refs = refs[planes:2 * planes]         # HBM [2*win, 128]
+    out_refs = refs[2 * planes:3 * planes]
+    s_meta, s_tile, s_pend, s_state, sems, tsems, osems = refs[3 * planes:]
     b = pl.program_id(0)
     nbuf = s_meta.shape[0]
     tr4 = tr // 4
     w4 = w // 4
     lt0 = s_tile.shape[2] - w4                  # tr4 + 16
+    win = lt0 + w4
+    tail_base = max(0, n_lines - win)
     n_tiles = grid_n * group
 
     lane_ii = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
@@ -350,9 +360,28 @@ def _fwd_kernel_unpacked(ts_ref, meta_ref, *refs, tr: int, group: int,
         return pltpu.make_async_copy(meta_ref.at[sc_row], s_meta.at[slot],
                                      sems.at[slot])
 
-    def tile_cp(t, slot, p):
+    def tile_main_cp(t, slot, p):
         return pltpu.make_async_copy(
-            table_refs[p].at[pl.ds(t * tr4, lt0 + w4)],
+            table_refs[p].at[pl.ds(t * tr4, win)],
+            s_tile.at[slot, p], tsems.at[slot, p],
+        )
+
+    # the tail is small enough that Mosaic may place it in VMEM, where a
+    # dynamic slice offset must be PROVABLY 8-aligned — compute it in
+    # units of 8 lines (q * 8 is provable) when the tiling allows, which
+    # every production tiling does (w % 32 == 0 -> w4, win, tail_base all
+    # multiples of 8; gated in grid_sample).  Unaligned tilings only run
+    # in interpret mode (tests).
+    tail_aligned = tr4 % 8 == 0 and win % 8 == 0 and tail_base % 8 == 0
+
+    def tile_tail_cp(t, slot, p):
+        if tail_aligned:
+            q = jnp.clip(t * (tr4 // 8) - tail_base // 8, 0, win // 8)
+            off = q * 8
+        else:
+            off = jnp.clip(t * tr4 - tail_base, 0, win)
+        return pltpu.make_async_copy(
+            tail_refs[p].at[pl.ds(off, win)],
             s_tile.at[slot, p], tsems.at[slot, p],
         )
 
@@ -360,14 +389,34 @@ def _fwd_kernel_unpacked(ts_ref, meta_ref, *refs, tr: int, group: int,
         return pltpu.make_async_copy(s_pend.at[slot, p], out_refs[p].at[row],
                                      osems.at[slot, p])
 
+    def tile_cp_do(t, slot, method):
+        """Issue (or wait) the tile-window DMA for all planes: from the
+        table when [t*tr4, t*tr4+win) fits, else from the tail buffer.
+        Waits branch identically — both descriptors move the same bytes
+        on the same semaphore, and exactly one matches the start."""
+        if n_lines >= win:
+            fits = jnp.asarray(t * tr4 + win <= n_lines)
+
+            @pl.when(fits)
+            def _():
+                for p in range(planes):
+                    getattr(tile_main_cp(t, slot, p), method)()
+
+            @pl.when(jnp.logical_not(fits))
+            def _():
+                for p in range(planes):
+                    getattr(tile_tail_cp(t, slot, p), method)()
+        else:                                   # tiny table: all tiles tail
+            for p in range(planes):
+                getattr(tile_tail_cp(t, slot, p), method)()
+
     @pl.when(b == 0)
     def _():
         s_state[0] = 0
         s_state[1] = 0
         s_state[2] = 0
         s_state[3] = 0
-        for p in range(planes):
-            tile_cp(0, 0, p).start()
+        tile_cp_do(0, 0, "start")
 
     for g in range(group):
         t = b * group + g
@@ -375,11 +424,9 @@ def _fwd_kernel_unpacked(ts_ref, meta_ref, *refs, tr: int, group: int,
 
         @pl.when(t + 1 < n_tiles)
         def _():
-            for p in range(planes):
-                tile_cp(t + 1, jax.lax.rem(t + 1, 2), p).start()
+            tile_cp_do(t + 1, jax.lax.rem(t + 1, 2), "start")
 
-        for p in range(planes):
-            tile_cp(t, t_slot, p).wait()
+        tile_cp_do(t, t_slot, "wait")
 
         start = ts_ref[t]
         end = ts_ref[t + 1]
@@ -415,6 +462,12 @@ def _fwd_kernel_unpacked(ts_ref, meta_ref, *refs, tr: int, group: int,
             for p in range(planes):
                 tlo = s_tile[t_slot, p, 0:lt0]
                 thi = s_tile[t_slot, p, w4:w4 + lt0]
+                if tlo.dtype != jnp.bfloat16:
+                    # f32 tables (training path): convert on-tile in VMEM —
+                    # a VPU pass over win*128 elems per super-chunk, vs the
+                    # old whole-table HBM staging copy (~4.5 ms/step)
+                    tlo = tlo.astype(jnp.bfloat16)
+                    thi = thi.astype(jnp.bfloat16)
                 block = None
                 for j in range(SUB):
                     idx = blk[SUB * p + j].astype(jnp.int32)[:, None]
@@ -543,8 +596,10 @@ def unpacked_bilerp_fwd_group(tables, rowids, txs, ty, *, h: int, w: int,
     border replication fused in-kernel (_fwd_kernel_unpacked).
 
     Args:
-        tables: P [h*w, FEAT] tables (any float dtype, cast bf16) — the
-            grid itself, no quad-pack.
+        tables: P [h*w, FEAT] tables — the grid itself, no quad-pack.
+            f32 tables stream straight into the kernel (reshape to quad
+            lines is a free bitcast; bf16 conversion happens on-tile in
+            VMEM); pre-staged bf16 tables (render) halve the tile DMA.
         rowids: P [M] int32 quad row ids, nondecreasing in stripes of tr.
         txs: P [M] f32 x fractions; ty: shared [M] f32 y fraction.
     Returns:
@@ -557,14 +612,25 @@ def unpacked_bilerp_fwd_group(tables, rowids, txs, ty, *, h: int, w: int,
     r_pad, grid = _grid_shape(r, tr, group)
     tr4, w4 = tr // 4, w // 4
     lt0 = tr4 + 16
-    lines_pad = r_pad // 4 + w4 + 16
-    tables_p = []
-    for t in tables:
-        t2 = t.astype(jnp.bfloat16).reshape(r // 4, LANES)
-        t2 = jnp.concatenate(
-            [t2, jnp.zeros((lines_pad - r // 4, LANES), jnp.bfloat16)], 0
-        )
-        tables_p.append(t2)
+    win = lt0 + w4
+    n_lines = r // 4
+    tail_base = max(0, n_lines - win)
+    # one fused convert pass per table (no pad, no concat — the tail
+    # buffer below covers window overrun); [h*w, FEAT] row-major ==
+    # [r/4, 128] quad lines is a free bitcast reshape.  An f32-direct
+    # variant (kernel DMAs the raw f32 grid, converts on-tile) measured
+    # 138.2 vs 134.5 ms/step — the doubled tile DMA plus per-superchunk
+    # VPU converts cost more than the one staging pass they replace.
+    dtype = jnp.bfloat16
+    tables_l = [t.astype(dtype).reshape(n_lines, LANES) for t in tables]
+    # per-plane tail: last win real lines + win zeros — tiles whose window
+    # overruns the table fetch from here, so the table needs no end pad
+    tails = []
+    for t2 in tables_l:
+        real = t2[tail_base:]
+        tails.append(jnp.concatenate(
+            [real, jnp.zeros((2 * win - real.shape[0], LANES), dtype)], 0
+        ))
     m = rowids[0].shape[0]
     pad = (-m) % SC + SC
     meta = jnp.concatenate(
@@ -578,18 +644,20 @@ def unpacked_bilerp_fwd_group(tables, rowids, txs, ty, *, h: int, w: int,
 
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel_unpacked, tr=tr, group=group,
-                          planes=planes, grid_n=grid, h=h, w=w),
+                          planes=planes, grid_n=grid, h=h, w=w,
+                          n_lines=n_lines),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)]      # meta blocks
-            + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(planes)],
+            + [pl.BlockSpec(memory_space=pl.ANY)
+               for _ in range(2 * planes)],                   # tables, tails
             out_specs=tuple(
                 pl.BlockSpec(memory_space=pl.ANY) for _ in range(planes)
             ),
             scratch_shapes=[
                 pltpu.VMEM((NBUF, 8 * planes + SUB, CHUNK), jnp.float32),
-                pltpu.VMEM((2, planes, lt0 + w4, LANES), jnp.bfloat16),
+                pltpu.VMEM((2, planes, win, LANES), dtype),
                 pltpu.VMEM((2, planes, CHUNK, LANES), jnp.float32),
                 pltpu.SMEM((4,), jnp.int32),
                 pltpu.SemaphoreType.DMA((NBUF,)),
@@ -603,7 +671,7 @@ def unpacked_bilerp_fwd_group(tables, rowids, txs, ty, *, h: int, w: int,
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(ts, meta, *tables_p)
+    )(ts, meta, *tables_l, *tails)
     if planes == 1:
         outs = (outs,) if not isinstance(outs, (tuple, list)) else outs
     return [unpack_features(o, m) for o in outs]
