@@ -49,6 +49,8 @@ class InstantNGPFieldConfig:
             base_resolution=self.base_res,
             desired_resolution=self.max_res,
             log2_hashmap_size=self.log2_hashmap_size,
+            # paired z-corner gathers on TPU (see HashGridConfig.hash_scheme)
+            hash_scheme="zline",
         )
 
 

@@ -51,6 +51,18 @@ class HashGridConfig:
     desired_resolution: Optional[int] = None
     gridtype: str = "hash"  # hash | tiled
     align_corners: bool = False
+    # "xor": the CUDA prime-XOR hash (temporal_gridencoder.cu fast_hash) —
+    # bit-exact parity with the reference's kernels (golden-tested).
+    # "zline": the LAST input dim enters the hash ADDITIVELY
+    # (idx = xor_hash(leading dims) + z mod rows), so a cell's two
+    # z-corners occupy ADJACENT table rows.  A roll-packed [rows, 2C]
+    # copy then fetches BOTH corners in one gather — hashed-level gather
+    # rows, backward sort keys and scatter updates all HALVE (measured
+    # 2x on the level pipeline, scripts/microbench_pairgather.py).
+    # Collision quality matches xor in spirit: torch-ngp itself maps its
+    # first dim with prime 1 (linear); zline moves the linear dim to z
+    # and keeps primes on the rest.  Checkpoints are scheme-specific.
+    hash_scheme: str = "xor"  # xor | zline
 
     @property
     def scale(self) -> float:
@@ -209,6 +221,17 @@ def _hash_index(coords: jnp.ndarray, resolution: int, rows: int, cfg, dense: boo
         for d in range(1, cfg.input_dim):
             idx = idx * resolution + coords[..., d]
         return idx % rows
+    if cfg.hash_scheme == "zline":
+        # last dim additive: idx(z+1) == idx(z) + 1 (mod rows), which is
+        # what lets the paired forward fetch both z-corners in one row
+        # (see _hash_level_apply_paired)
+        last = cfg.input_dim - 1
+        h = jnp.zeros(coords.shape[:-1], jnp.uint32)
+        for d in range(last):
+            h = h ^ (coords[..., d].astype(jnp.uint32)
+                     * np.uint32(_PRIMES[(d + 1) % 3]))
+        hr = (h % np.uint32(rows)).astype(jnp.int32)
+        return jax.lax.rem(hr + coords[..., last], np.int32(rows))
     h = coords[..., 0].astype(jnp.uint32) * np.uint32(_PRIMES[0])
     for d in range(1, cfg.input_dim):
         h = h ^ (coords[..., d].astype(jnp.uint32) * np.uint32(_PRIMES[d % 3]))
@@ -330,6 +353,122 @@ def _hash_level_apply(lvl_table, idxs, ws):
 
     op.defvjp(op_fwd, op_bwd)
     return op(lvl_table, idxs, ws)
+
+
+def _hash_level_apply_paired(lvl_table, idxs, wxy, fz):
+    """zline-hash level forward: each of the 2^(D-1) leading-corner rows
+    fetches BOTH z-corners from a roll-packed [rows, 2C] bf16 copy —
+    half the gather rows of _hash_level_apply, with a sorted-scatter
+    backward whose sort keys and kernel updates also halve (the pair's
+    two updates ride one key as a 2C payload into a virtual [rows, 2C]
+    table, folded back by one roll-add).
+
+    Args:
+        lvl_table: [rows, C] f32 one level's embedding rows.
+        idxs: [K2, B] int32 zline row indices of the dz=0 corners
+            (idx+1 mod rows is the dz=1 corner by construction).
+        wxy: [K2, B] f32 leading-dims interpolation weights.
+        fz: [B] f32 last-dim fraction (dz=1 weight; 1-fz for dz=0).
+    Returns:
+        [B, C] f32.
+    """
+    rows, C = lvl_table.shape
+    K2, B = idxs.shape
+
+    def pack2(t):
+        # row r -> [t[r], t[(r+1) % rows]]; bf16 halves the gathered
+        # stream (weights stay f32, the combine promotes)
+        tb = t.astype(jnp.bfloat16)
+        return jnp.concatenate([tb, jnp.roll(tb, -1, axis=0)], axis=-1)
+
+    @jax.custom_vjp
+    def op(lvl_table, idxs, wxy, fz):
+        p2 = pack2(lvl_table)
+        out = 0.0
+        wz1 = fz[:, None]
+        wz0 = 1.0 - wz1
+        for k in range(K2):
+            f = jnp.take(p2, idxs[k], axis=0, mode="clip")
+            out = out + wxy[k][:, None] * (
+                wz0 * f[:, :C] + wz1 * f[:, C:]
+            )
+        return out
+
+    save_feats = K2 * B * 2 * C * 2 <= _RESIDUAL_BYTES_CAP  # bf16 feats
+
+    def op_fwd(lvl_table, idxs, wxy, fz):
+        p2 = pack2(lvl_table)
+        wz1 = fz[:, None]
+        wz0 = 1.0 - wz1
+        if save_feats:
+            feats = jnp.stack([
+                jnp.take(p2, idxs[k], axis=0, mode="clip")
+                for k in range(K2)
+            ])  # [K2, B, 2C] bf16
+            fcomb = (wz0[None] * feats[..., :C].astype(jnp.float32)
+                     + wz1[None] * feats[..., C:].astype(jnp.float32))
+            out = jnp.einsum("kb,kbc->bc", wxy, fcomb)
+        else:
+            out = op(lvl_table, idxs, wxy, fz)
+            feats = None
+        return out, (lvl_table, idxs, wxy, fz, feats)
+
+    def op_bwd(res, g):
+        from soccernerfs_tpu.ops.pallas import plane_kernels as pk
+
+        lvl_table, idxs, wxy, fz, feats = res
+        zero_i = np.zeros(idxs.shape, dtype=jax.dtypes.float0)
+        wz1 = fz[:, None]
+        wz0 = 1.0 - wz1
+        # the pair update: one key (idx), payload [wz0*g, wz1*g] * wxy_k
+        g2 = jnp.concatenate([wz0 * g, wz1 * g], axis=-1)    # [B, 2C]
+        if feats is not None:
+            f32 = feats.astype(jnp.float32)
+            fcomb = wz0[None] * f32[..., :C] + wz1[None] * f32[..., C:]
+            d_wxy = jnp.einsum("bc,kbc->kb", g, fcomb)
+            d_fz = jnp.einsum(
+                "bc,kbc->b", g,
+                wxy[:, :, None] * (f32[..., C:] - f32[..., :C]),
+            )
+            gw = (wxy[:, :, None] * g2[None]).reshape(K2 * B, 2 * C)
+            srt = jax.lax.sort(
+                (idxs.reshape(K2 * B), *(gw[:, ch] for ch in range(2 * C))),
+                num_keys=1,
+            )
+            virt = pk.sorted_scatter_add(
+                jnp.stack(srt[1:], axis=-1), srt[0], r=rows, c=2 * C,
+                interpret=SCATTER_INTERPRET,
+            )
+            d_table = virt[:, :C] + jnp.roll(virt[:, C:], 1, axis=0)
+            return (d_table.astype(lvl_table.dtype), zero_i, d_wxy,
+                    d_fz)
+        # big level: bound peak memory — re-gather and scatter per corner
+        p2 = pack2(lvl_table)
+        d_table = jnp.zeros((rows, 2 * C), jnp.float32)
+        d_wxy = []
+        d_fz = 0.0
+        iota = jnp.arange(B, dtype=jnp.int32)
+        for k in range(K2):
+            f = jnp.take(p2, idxs[k], axis=0, mode="clip").astype(
+                jnp.float32
+            )
+            fcomb_k = wz0 * f[:, :C] + wz1 * f[:, C:]
+            d_wxy.append(jnp.einsum("bc,bc->b", g, fcomb_k))
+            d_fz = d_fz + wxy[k] * jnp.einsum(
+                "bc,bc->b", g, f[:, C:] - f[:, :C]
+            )
+            gw_k = wxy[k][:, None] * g2                      # [B, 2C]
+            idx_s, perm = jax.lax.sort((idxs[k], iota), num_keys=1)
+            gw_s = jnp.take(gw_k, perm, axis=0, mode="clip")
+            d_table = d_table + pk.sorted_scatter_add(
+                gw_s, idx_s, r=rows, c=2 * C, interpret=SCATTER_INTERPRET,
+            )
+        d_table = d_table[:, :C] + jnp.roll(d_table[:, C:], 1, axis=0)
+        return (d_table.astype(lvl_table.dtype), zero_i,
+                jnp.stack(d_wxy), d_fz)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op(lvl_table, idxs, wxy, fz)
 
 
 def _window_pick(acc, ch_a, w_a, ch_b, w_b):
@@ -561,6 +700,37 @@ def hash_grid_encode(
             )  # [rows, 2^D * row_channels]
             base = _hash_index(pos0, res, rows, cfg, dense)
             feats_all = jnp.take(packed, base, axis=0, mode="clip")
+
+        if (
+            cfg.hash_scheme == "zline"
+            and not strided
+            and not dense
+            and cfg.temporal_dim == 0
+            and _use_scatter_kernel(2 * c_eff, rows)
+        ):
+            # PAIRED zline path: the dz=0 corners' rows carry both
+            # z-corners (additive hash + roll-packed table) — gather
+            # rows, sort keys and scatter updates all halve vs the
+            # 2^D-corner path below
+            lvl_table = jax.lax.dynamic_slice_in_dim(
+                table, offsets[lvl], rows, axis=0
+            )
+            lead = corner_offsets[::2]                  # last-dim == 0
+            idxs = jnp.stack([
+                _hash_index(pos0 + off, res, rows, cfg, dense)
+                for off in lead
+            ])
+            wxy = jnp.stack([
+                jnp.prod(
+                    jnp.where(off[None, :-1] == 1,
+                              frac[:, :-1], 1.0 - frac[:, :-1]), axis=-1
+                )
+                for off in lead
+            ])
+            outputs.append(_hash_level_apply_paired(
+                lvl_table, idxs, wxy, frac[:, -1]
+            ))
+            continue
 
         if temporal_kernel or (not strided and _use_scatter_kernel(c_eff, rows)):
             # TPU: fused corner gather with a sorted Pallas scatter

@@ -223,6 +223,66 @@ def test_hash_level_scatter_vjp_matches_xla(monkeypatch):
     )
 
 
+def test_zline_paired_vjp_matches_xla(monkeypatch):
+    """The zline paired path (one gather per z-corner PAIR from the
+    roll-packed bf16 table, sorted pair-scatter backward) == the generic
+    per-corner XLA path with the same zline hash: values, table grads,
+    and position grads (wxy/fz chain)."""
+    import soccernerfs_tpu.ops.hash_grid as hg
+
+    cfg = HashGridConfig(
+        num_levels=4, level_dim=2, base_resolution=8, per_level_scale=2.0,
+        log2_hashmap_size=8,  # forces oversubscribed (hashed) levels
+        hash_scheme="zline",
+    )
+    params = init_hash_grid(jax.random.PRNGKey(5), cfg, std=0.5)
+    rng = np.random.default_rng(21)
+    # past-the-grid coords exercise the wrap; fz near 0/1 the pair edges
+    x = jnp.asarray(rng.uniform(-0.05, 1.05, (150, 3)).astype(np.float32))
+    cot_shape = (150, cfg.num_levels * cfg.level_dim)
+    cot = jnp.asarray(rng.standard_normal(cot_shape, dtype=np.float32))
+
+    def loss(p, x):
+        return jnp.vdot(hash_grid_encode(cfg, p, x), cot)
+
+    out_ref = hash_grid_encode(cfg, params, x)
+    g_ref, gx_ref = jax.grad(loss, argnums=(0, 1))(params, x)
+
+    monkeypatch.setattr(hg, "SCATTER_INTERPRET", True)
+    out_new = hash_grid_encode(cfg, params, x)
+    g_new, gx_new = jax.grad(loss, argnums=(0, 1))(params, x)
+
+    so = np.abs(np.asarray(out_ref)).max() + 1e-6
+    np.testing.assert_allclose(          # bf16 gathered features
+        np.asarray(out_new) / so, np.asarray(out_ref) / so, atol=1e-2
+    )
+    s = np.abs(np.asarray(g_ref["embeddings"])).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(g_new["embeddings"]) / s,
+        np.asarray(g_ref["embeddings"]) / s, atol=2e-2,
+    )
+    sx = np.abs(np.asarray(gx_ref)).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(gx_new) / sx, np.asarray(gx_ref) / sx, atol=2e-2
+    )
+
+
+def test_zline_adjacency_and_wrap():
+    """zline: idx(z+1) == (idx(z) + 1) % rows for hashed levels — the
+    invariant the roll-packed pair gather relies on."""
+    import soccernerfs_tpu.ops.hash_grid as hg
+
+    cfg = HashGridConfig(log2_hashmap_size=8, hash_scheme="zline")
+    rows, res = 256, 33
+    rng = np.random.default_rng(3)
+    c = jnp.asarray(rng.integers(0, res, (500, 3), dtype=np.int32))
+    i0 = hg._hash_index(c, res, rows, cfg, dense=False)
+    i1 = hg._hash_index(c + np.array([0, 0, 1]), res, rows, cfg,
+                        dense=False)
+    np.testing.assert_array_equal(np.asarray((i0 + 1) % rows),
+                                  np.asarray(i1))
+
+
 def test_temporal_hash_scatter_vjp_matches_xla(monkeypatch):
     """Temporal (sliding-window) hash levels through the Pallas scatter
     backward == pure-XLA: values, table grads, position grads, and TIME
