@@ -258,9 +258,13 @@ def families_main(which=None) -> None:
     from soccernerfs_tpu.data.dataparsers.soccer import (
         BroadcaststyleDataParserConfig,
     )
+    from soccernerfs_tpu.data.dataparsers.sitcoms3d import (
+        Sitcoms3DDataParserConfig,
+    )
     from soccernerfs_tpu.data.fixtures import (
         make_blender_fixture,
         make_broadcaststyle_fixture,
+        make_sitcoms3d_fixture,
     )
     from soccernerfs_tpu.engine.trainer import Trainer
 
@@ -269,9 +273,10 @@ def families_main(which=None) -> None:
         "nerfplayer-ngp-complete",
     }
     methods = which or [
-        "nerfacto", "instant-ngp", "nerfplayer", "nerfplayer-nerfacto",
-        "nerfplayer-ngp", "nerfplayer-ngp-complete", "tensorf",
-        "k-planes-static",
+        "nerfacto", "instant-ngp", "instant-ngp-bounded", "nerfplayer",
+        "nerfplayer-nerfacto", "nerfplayer-ngp", "nerfplayer-ngp-complete",
+        "tensorf", "k-planes-static", "vanilla-nerf", "mipnerf", "dnerf",
+        "neus", "depth-nerfacto", "semantic-nerfw",
     ]
     tmp = pathlib.Path(tempfile.mkdtemp())
     bl = tmp / "blender"
@@ -279,6 +284,7 @@ def families_main(which=None) -> None:
     bc = make_broadcaststyle_fixture(
         tmp / "bstyle", num_cameras=4, num_steps=4, h=96, w=96
     )
+    sit = make_sitcoms3d_fixture(tmp / "sitcoms3d", num_cameras=4, h=96, w=96)
     for method in methods:
         try:
             cfg = copy.deepcopy(method_configs[method])
@@ -294,6 +300,8 @@ def families_main(which=None) -> None:
                 dm.dataparser = BroadcaststyleDataParserConfig(
                     data=bc, fps_downsample=1.0
                 )
+            elif method == "semantic-nerfw":
+                dm.dataparser = Sitcoms3DDataParserConfig(data=sit)
             else:
                 dm.dataparser = BlenderDataParserConfig(data=bl)
             if hasattr(dm, "pick_mode"):

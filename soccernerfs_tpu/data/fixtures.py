@@ -127,6 +127,68 @@ def make_broadcaststyle_fixture(
     return root
 
 
+def make_sitcoms3d_fixture(
+    root: Path,
+    num_cameras: int = 4,
+    h: int = 24,
+    w: int = 32,
+    downscale: int = 4,
+    num_classes: int = 3,
+) -> Path:
+    """Sitcoms3D-format fixture for semantic-nerfw: ``cameras.json`` with
+    per-frame intrinsics/camtoworld + scene bbox, ``images_{d}/`` jpgs and
+    ``segmentations_{d}/thing/`` label pngs + ``panoptic_classes.json``
+    (ref: sitcoms3d_dataparser.py:61-160 expected layout).
+
+    Poses/bbox are written pre-rotated by the parser's z-up rotation's
+    inverse so the parsed scene matches the analytic ball scene.
+    """
+    root = Path(root)
+    img_dir = root / f"images_{downscale}"
+    seg_dir = root / f"segmentations_{downscale}" / "thing"
+    img_dir.mkdir(parents=True, exist_ok=True)
+    seg_dir.mkdir(parents=True, exist_ok=True)
+
+    # the parser rotates camtoworld/bbox by R (90deg about x); invert here
+    rot = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], np.float64)
+    fx = fy = 0.7 * w * downscale
+    cx, cy = w * downscale / 2.0, h * downscale / 2.0
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+
+    frames = []
+    for ci in range(num_cameras):
+        theta = 2 * np.pi * ci / num_cameras
+        pose = _look_at_pose([2.2 * np.cos(theta), 2.2 * np.sin(theta), 1.0])
+        name = f"frame_{ci:04d}.jpg"
+        img = _render_ball_scene(
+            h, w, pose, fx / downscale, fy / downscale,
+            cx / downscale, cy / downscale, 0.0
+        )
+        Image.fromarray((img * 255).astype(np.uint8)).save(img_dir / name)
+        # labels: 0 background, 1 ball (red-ish), 2 floor (green-ish)
+        labels = np.zeros((h, w), np.uint8)
+        labels[img[..., 0] > 0.5] = 1
+        labels[img[..., 1] > 0.5] = 2 % num_classes
+        Image.fromarray(labels).save(seg_dir / name.replace(".jpg", ".png"))
+        c2w_file = np.concatenate(
+            [rot.T @ pose[:3, :4], [[0.0, 0.0, 0.0, 1.0]]], axis=0
+        )
+        frames.append({
+            "image_name": name,
+            "intrinsics": K.tolist(),
+            "camtoworld": c2w_file.tolist(),
+        })
+
+    bbox = np.array([[-1.5, -1.5, -0.2], [1.5, 1.5, 1.5]], np.float64)
+    with open(root / "cameras.json", "w") as f:
+        json.dump({"frames": frames, "bbox": (bbox @ rot).tolist()}, f)
+    classes = [f"class_{i}" for i in range(num_classes)]
+    colors = (np.eye(3)[:num_classes] * 255).astype(int).tolist()
+    with open(root / "panoptic_classes.json", "w") as f:
+        json.dump({"thing": classes, "thing_colors": colors}, f)
+    return root
+
+
 def make_blender_fixture(
     root: Path, num_frames: int = 3, h: int = 20, w: int = 20
 ) -> Path:

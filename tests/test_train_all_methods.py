@@ -13,7 +13,12 @@ import pytest
 from soccernerfs_tpu.configs.method_configs import method_configs
 from soccernerfs_tpu.data.dataparsers.blender import BlenderDataParserConfig
 from soccernerfs_tpu.data.dataparsers.soccer import BroadcaststyleDataParserConfig
-from soccernerfs_tpu.data.fixtures import make_blender_fixture, make_broadcaststyle_fixture
+from soccernerfs_tpu.data.dataparsers.sitcoms3d import Sitcoms3DDataParserConfig
+from soccernerfs_tpu.data.fixtures import (
+    make_blender_fixture,
+    make_broadcaststyle_fixture,
+    make_sitcoms3d_fixture,
+)
 from soccernerfs_tpu.engine.trainer import Trainer
 
 # per-model-config shrink overrides keyed by model_name
@@ -86,6 +91,9 @@ SMALL_MODEL["nerfplayer_ngp_complete"] = dict(
     num_levels=3, log2_hashmap_size=9, temporal_dim=4,
     grid_resolution=8, max_num_samples_per_ray=6, num_probes_per_ray=16,
 )
+SMALL_MODEL["semantic_nerfw"] = dict(
+    num_semantic_classes=3, **SMALL_MODEL["nerfacto"]
+)
 
 DYNAMIC_MODELS = {"kplanes", "nerfplayer", "nerfplayer_nerfacto", "nerfplayer_ngp", "nerfplayer_ngp_complete"}
 
@@ -97,18 +105,15 @@ def fixtures(tmp_path_factory):
             tmp_path_factory.mktemp("bstyle"), num_cameras=3, num_steps=3, h=12, w=16
         ),
         "blender": make_blender_fixture(tmp_path_factory.mktemp("blender"), h=12, w=16),
+        "sitcoms3d": make_sitcoms3d_fixture(
+            tmp_path_factory.mktemp("sitcoms3d"), num_cameras=3, h=12, w=16
+        ),
     }
 
 
 @pytest.mark.parametrize("method", sorted(method_configs))
 def test_method_trains_two_steps(method, fixtures, tmp_path):
     import copy
-
-    if method == "semantic-nerfw":
-        # needs a Sitcoms3D semantic fixture; the model is covered by
-        # tests/test_models_smoke.py (the reference blacklists it too,
-        # ref: tests/test_train.py:18-30)
-        pytest.skip("semantic-nerfw needs sitcoms3d data")
 
     config = copy.deepcopy(method_configs[method])
     model_name = config.pipeline.model_name
@@ -127,6 +132,8 @@ def test_method_trains_two_steps(method, fixtures, tmp_path):
         dm.dataparser = BroadcaststyleDataParserConfig(
             data=fixtures["broadcast"], fps_downsample=1.0
         )
+    elif method == "semantic-nerfw":
+        dm.dataparser = Sitcoms3DDataParserConfig(data=fixtures["sitcoms3d"])
     else:
         dm.dataparser = BlenderDataParserConfig(data=fixtures["blender"])
 
