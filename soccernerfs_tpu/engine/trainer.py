@@ -296,7 +296,27 @@ class Trainer:
             }
             return keep
 
-        self._eval_forward = jax.jit(eval_forward, static_argnums=())
+        if use_shard_map:
+            # sharded whole-image rendering: each chip renders 1/n of the
+            # chunk's rays (params/cameras replicated).  shard_map — not
+            # auto-SPMD — because the Pallas render kernels are custom
+            # calls XLA cannot partition (ref: pipelines/
+            # base_pipeline.py:343-352 rank-split eval).
+            from jax.sharding import PartitionSpec as P
+
+            sharded_eval_forward = jax.shard_map(
+                eval_forward,
+                mesh=mesh,
+                in_specs=(
+                    P(), P(), P(meshlib.DATA_AXIS), P(meshlib.DATA_AXIS), P()
+                ),
+                out_specs=P(meshlib.DATA_AXIS),
+                check_vma=False,
+            )
+            self._eval_forward = jax.jit(sharded_eval_forward)
+        else:
+            self._eval_forward = jax.jit(eval_forward, static_argnums=())
+        self._eval_n_dev = n_dev if use_shard_map else 1
 
         # render fast path: pack plane tables once per snapshot (models
         # that define prepare_render_params), reused by every image chunk
@@ -382,6 +402,9 @@ class Trainer:
         (ref: models/base_model.py:163-186 get_outputs_for_camera_ray_bundle).
         Fixed chunk size keeps one compiled program; the tail is padded."""
         chunk = chunk or getattr(self.model_cfg, "eval_num_rays_per_chunk", 1 << 14)
+        # sharded render: every chip takes chunk/n rays, so chunk must
+        # divide evenly over the data mesh
+        chunk = (chunk + self._eval_n_dev - 1) // self._eval_n_dev * self._eval_n_dev
         h = int(np.asarray(cameras.height)[camera_index])
         w = int(np.asarray(cameras.width)[camera_index])
         coords = np.asarray(get_image_coords(h, w)).reshape(-1, 2)

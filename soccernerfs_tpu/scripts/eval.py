@@ -43,9 +43,24 @@ def average_eval_image_metrics(trainer, use_dynmetric: bool = True) -> dict:
     dt = time.time() - t0
 
     keys = per_image[0].keys()
-    metrics = {
-        k: float(np.nanmean([m[k] for m in per_image])) for k in keys
-    }
+    # Learned metrics (lpips / dynmetric) degrade to NaN when pretrained
+    # weights are unavailable; emit an explicit null instead of letting
+    # nanmean warn on an all-NaN slice (ref: utils/dynmetric.py:79-80).
+    metrics: dict = {}
+    unavailable = []
+    for k in keys:
+        vals = np.asarray([m[k] for m in per_image], np.float64)
+        finite = vals[np.isfinite(vals)]
+        if finite.size == 0:
+            metrics[k] = None
+            unavailable.append(k)
+        else:
+            metrics[k] = float(finite.mean())
+    if unavailable:
+        print(
+            "note: metrics unavailable in this environment (no pretrained "
+            f"weights): {', '.join(unavailable)} — reported as null"
+        )
     metrics["num_rays_per_sec"] = num_rays / dt
     metrics["fps"] = len(per_image) / dt
     return metrics

@@ -76,8 +76,11 @@ button { margin:1px; }
   <div id="kflist"></div>
   <div id="rst"></div>
   <button id="camtoggle">show cameras</button>
+  <button id="kfedit">edit keyframes</button>
+  <button id="treetoggle">scene tree</button>
   <button id="exptoggle">export panel</button>
   <button id="logtoggle">logs</button>
+  <div id="treepanel" style="display:none"></div>
   <div id="exppanel" style="display:none">
     crop min <input id="cmin" size="10" value="-1 -1 -1">
     max <input id="cmax" size="10" value="1 1 1">
@@ -85,6 +88,16 @@ button { margin:1px; }
     <pre id="expout" style="white-space:pre-wrap"></pre>
   </div>
   <pre id="logpanel" style="display:none; max-height:240px; overflow:auto"></pre>
+</div>
+<div id="rmodal" style="display:none; position:fixed; top:10vh; left:25vw;
+     width:50vw; background:#000d; border:1px solid #6cf; border-radius:8px;
+     padding:12px; z-index:10">
+  <b>render path</b> <span id="rmst"></span><br>
+  <progress id="rmprog" max="1" value="0" style="width:100%"></progress><br>
+  <img id="rmimg" style="width:100%; height:auto; min-height:120px;
+       object-fit:contain; background:#222">
+  <br><button id="rmcancel">cancel</button>
+  <button id="rmclose">close</button>
 </div>
 <canvas id="overlay" style="position:fixed;top:0;left:0;pointer-events:none"></canvas>
 <img id="view">
@@ -140,8 +153,10 @@ async function loop(){
   requestAnimationFrame(loop);
 }
 const kfst=document.getElementById('kfst'), kflist=document.getElementById('kflist');
+let kfCache=[];
 async function refreshKfs(){
   const j=await (await fetch('/keyframes')).json();
+  kfCache=j.keyframes;
   kfst.textContent=j.keyframes.length+' keyframes';
   kflist.innerHTML='';
   j.keyframes.forEach((k,i)=>{
@@ -154,6 +169,7 @@ async function refreshKfs(){
       refreshKfs(); };
     d.appendChild(del); kflist.appendChild(d);
   });
+  drawOverlay();
 }
 document.getElementById('kf').onclick=async()=>{
   override=null;
@@ -179,17 +195,31 @@ document.getElementById('kfexport').onclick=async()=>{
   const j=await r.json();
   document.getElementById('rst').textContent='saved '+(j.path||JSON.stringify(j));};
 const rst=document.getElementById('rst');
+// ---- render-preview modal (the reference RenderModal surface) ----
+const rmodal=document.getElementById('rmodal'), rmst=document.getElementById('rmst'),
+      rmprog=document.getElementById('rmprog'), rmimg=document.getElementById('rmimg');
+let rmTimer=null;
+function rmTick(){
+  fetch('/render_status').then(r=>r.json()).then(s=>{
+    rmst.textContent=s.running?`frame ${s.frame}/${s.total}`:
+      (s.cancelled?'cancelled':(s.path?`wrote ${s.path}`:(s.error||'idle')));
+    rmprog.max=s.total||1; rmprog.value=s.frame||0;
+    if(s.frame>0) rmimg.src='/render_preview?'+s.frame;
+    if(!s.running&&rmTimer){ clearInterval(rmTimer); rmTimer=null; }
+  });}
 document.getElementById('renderpath').onclick=async()=>{
   const r=await fetch('/render_path',{method:'POST',
     body:JSON.stringify({width:1280,height:720,fps:24,output:out})});
   const j=await r.json();
   if(j.error){ rst.textContent=j.error; return; }
-  const tick=async()=>{
-    const s=await (await fetch('/render_status')).json();
-    rst.textContent=s.running?`rendering ${s.frame}/${s.total}`:
-      (s.path?`wrote ${s.path}`:'idle');
-    if(s.running) setTimeout(tick, 500);
-  }; tick();};
+  rmodal.style.display='block'; rmimg.removeAttribute('src');
+  if(rmTimer) clearInterval(rmTimer);
+  rmTimer=setInterval(rmTick, 500); rmTick();};
+document.getElementById('rmcancel').onclick=()=>
+  fetch('/cancel_render',{method:'POST',body:'{}'});
+document.getElementById('rmclose').onclick=()=>{
+  rmodal.style.display='none';
+  if(rmTimer){ clearInterval(rmTimer); rmTimer=null; }};
 fetch('/scene').then(r=>r.json()).then(j=>{
   if(!j.has_time) document.getElementById('trow').style.display='none';});
 
@@ -219,32 +249,104 @@ function viewProject(p){
   const f=(ovl.height/2)/Math.tan(fov*Math.PI/360);
   return [ovl.width/2 + f*x/(-z), ovl.height/2 - f*y/(-z), -z];
 }
+// ---- scene tree: server-held visibility toggles ----
+let tree={frustums:true, thumbnails:true, labels:true, keyframes:true, path:true};
+fetch('/scene_tree').then(r=>r.json()).then(j=>{ tree=j; buildTree(); });
+function buildTree(){
+  const p=document.getElementById('treepanel'); p.innerHTML='';
+  for(const k of Object.keys(tree)){
+    const l=document.createElement('label');
+    const c=document.createElement('input'); c.type='checkbox'; c.checked=tree[k];
+    c.onchange=async()=>{
+      tree=await (await fetch('/scene_tree',{method:'POST',
+        body:JSON.stringify({[k]:c.checked})})).json();
+      drawOverlay();};
+    l.appendChild(c); l.appendChild(document.createTextNode(' '+k));
+    p.appendChild(l); p.appendChild(document.createElement('br'));
+  }}
+document.getElementById('treetoggle').onclick=()=>{
+  const p=document.getElementById('treepanel');
+  p.style.display=p.style.display==='none'?'block':'none';};
+
+// ---- keyframe gizmos: projected handles, draggable in edit mode ----
+let editKfs=false, kfHandles=[], dragKf=-1;
+document.getElementById('kfedit').onclick=()=>{
+  editKfs=!editKfs;
+  document.getElementById('kfedit').textContent=
+    editKfs?'done editing':'edit keyframes';
+  ovl.style.pointerEvents=editKfs?'auto':'none';
+  drawOverlay();};
 function drawOverlay(){
   ovl.width=window.innerWidth; ovl.height=window.innerHeight;
   ctx.clearRect(0,0,ovl.width,ovl.height);
-  if(!showCams||!sceneCams) return;
-  ctx.strokeStyle='#6cf'; ctx.lineWidth=1; ctx.font='9px monospace';
-  for(const c of sceneCams){
-    const m=c.c2w, s=0.25, a=c.aspect||1.78;
-    const o=[m[0][3],m[1][3],m[2][3]];
-    const hw=s*Math.tan(c.fov*Math.PI/360)*a, hh=s*Math.tan(c.fov*Math.PI/360);
-    const corners=[[-hw,-hh],[hw,-hh],[hw,hh],[-hw,hh]].map(([u,v])=>[
-      o[0]+m[0][0]*u+m[0][1]*v-m[0][2]*s,
-      o[1]+m[1][0]*u+m[1][1]*v-m[1][2]*s,
-      o[2]+m[2][0]*u+m[2][1]*v-m[2][2]*s]);
-    const po=viewProject(o), pc=corners.map(viewProject);
-    if(!po||pc.some(p=>!p)) continue;
-    ctx.beginPath();
-    for(let i=0;i<4;i++){ ctx.moveTo(po[0],po[1]); ctx.lineTo(pc[i][0],pc[i][1]);
-      ctx.lineTo(pc[(i+1)%4][0],pc[(i+1)%4][1]); }
-    ctx.stroke();
-    const im=thumbs[c.idx];
-    if(im&&im.complete){ const w=Math.max(12, 900/po[2]);
-      ctx.drawImage(im, po[0]-w/2, po[1]-w/(2*a), w, w/a); }
-    ctx.fillStyle='#6cf'; ctx.fillText('#'+c.idx, po[0]+3, po[1]-3);
+  if(showCams&&sceneCams&&tree.frustums){
+    ctx.strokeStyle='#6cf'; ctx.lineWidth=1; ctx.font='9px monospace';
+    for(const c of sceneCams){
+      const m=c.c2w, s=0.25, a=c.aspect||1.78;
+      const o=[m[0][3],m[1][3],m[2][3]];
+      const hw=s*Math.tan(c.fov*Math.PI/360)*a, hh=s*Math.tan(c.fov*Math.PI/360);
+      const corners=[[-hw,-hh],[hw,-hh],[hw,hh],[-hw,hh]].map(([u,v])=>[
+        o[0]+m[0][0]*u+m[0][1]*v-m[0][2]*s,
+        o[1]+m[1][0]*u+m[1][1]*v-m[1][2]*s,
+        o[2]+m[2][0]*u+m[2][1]*v-m[2][2]*s]);
+      const po=viewProject(o), pc=corners.map(viewProject);
+      if(!po||pc.some(p=>!p)) continue;
+      ctx.beginPath();
+      for(let i=0;i<4;i++){ ctx.moveTo(po[0],po[1]); ctx.lineTo(pc[i][0],pc[i][1]);
+        ctx.lineTo(pc[(i+1)%4][0],pc[(i+1)%4][1]); }
+      ctx.stroke();
+      const im=thumbs[c.idx];
+      if(tree.thumbnails&&im&&im.complete){ const w=Math.max(12, 900/po[2]);
+        ctx.drawImage(im, po[0]-w/2, po[1]-w/(2*a), w, w/a); }
+      if(tree.labels){ ctx.fillStyle='#6cf';
+        ctx.fillText('#'+c.idx, po[0]+3, po[1]-3); }
+    }
+  }
+  kfHandles=[];
+  if(tree.keyframes&&kfCache.length){
+    const pts=kfCache.map(k=>viewProject([k.c2w[0][3],k.c2w[1][3],k.c2w[2][3]]));
+    if(tree.path&&pts.filter(Boolean).length>1){
+      ctx.strokeStyle='#fc6'; ctx.lineWidth=1.5; ctx.beginPath();
+      let started=false;
+      for(const p of pts){ if(!p){started=false; continue;}
+        if(!started){ ctx.moveTo(p[0],p[1]); started=true; }
+        else ctx.lineTo(p[0],p[1]); }
+      ctx.stroke();
+    }
+    ctx.font='10px monospace';
+    pts.forEach((p,i)=>{ if(!p) return;
+      kfHandles.push({i, x:p[0], y:p[1], depth:p[2]});
+      ctx.fillStyle=(i===dragKf)?'#ff0':(editKfs?'#f80':'#fc6');
+      ctx.fillRect(p[0]-5,p[1]-5,10,10);
+      ctx.fillStyle='#fc6'; ctx.fillText('kf'+i, p[0]+7, p[1]+3); });
   }
 }
-setInterval(()=>{ if(showCams) drawOverlay(); }, 120);
+ovl.onpointerdown=e=>{
+  if(!editKfs) return;
+  for(const h of kfHandles){
+    if(Math.abs(e.clientX-h.x)<8&&Math.abs(e.clientY-h.y)<8){
+      dragKf=h.i; lx=e.clientX; ly=e.clientY; return; } }
+};
+ovl.onpointermove=e=>{
+  if(dragKf<0) return;
+  const h=kfHandles.find(q=>q.i===dragKf); if(!h) return;
+  // screen-plane drag: world units per pixel at the handle's depth
+  const m=c2w(), f=(ovl.height/2)/Math.tan(fov*Math.PI/360);
+  const s=h.depth/f, du=(e.clientX-lx)*s, dv=(e.clientY-ly)*s;
+  lx=e.clientX; ly=e.clientY;
+  const kf=kfCache[dragKf];
+  for(let r=0;r<3;r++)
+    kf.c2w[r][3]+=m[r][0]*du-m[r][1]*dv;  // right*du + up*(-dv)
+  drawOverlay();
+};
+ovl.onpointerup=async e=>{
+  if(dragKf<0) return;
+  const i=dragKf; dragKf=-1;
+  await fetch('/update_keyframe',{method:'POST',
+    body:JSON.stringify({index:i, c2w:kfCache[i].c2w})});
+  refreshKfs();
+};
+setInterval(()=>{ if(showCams||tree.keyframes) drawOverlay(); }, 120);
 
 // ---- ExportPanel: generate snt-render / snt-export commands ----
 document.getElementById('exptoggle').onclick=()=>{
@@ -281,6 +383,10 @@ class ViewerState:
         self.keyframes: list = []
         self.output_dir = Path(output_dir) if output_dir else Path.cwd()
         self.render_job: dict = {"running": False, "frame": 0, "total": 0}
+        self.scene_tree: dict = {
+            "frustums": True, "thumbnails": True, "labels": True,
+            "keyframes": True, "path": True,
+        }
         self._logs: list = []
         self._log_lock = threading.Lock()
         # mirror the training writer's scalar events into the log panel
@@ -306,6 +412,47 @@ class ViewerState:
             kf["time"] = float(time)
         self.keyframes.append(kf)
         return len(self.keyframes)
+
+    def update_keyframe(self, index, c2w=None, fov=None, time=None) -> dict:
+        """In-place keyframe edit — the draggable transform-control
+        equivalent of the reference CameraPanel (ref: viewer/app/src/
+        modules/SidePanel/CameraPanel/CameraPanel.jsx keyframe gizmos)."""
+        if not 0 <= index < len(self.keyframes):
+            return {"error": f"no keyframe {index}"}
+        kf = self.keyframes[index]
+        if c2w is not None:
+            kf["c2w"] = c2w
+        if fov is not None:
+            kf["fov"] = float(fov)
+        if time is not None:
+            kf["time"] = float(time)
+        return {"keyframe": kf, "index": index}
+
+    def set_scene_tree(self, updates: dict | None = None) -> dict:
+        """Server-held visibility state for the scene-tree panel (the
+        reference's Three.js scene tree toggles; ref: viewer/app Scene
+        module).  Keys: frustums, thumbnails, labels, keyframes, path."""
+        if updates:
+            for k, v in updates.items():
+                if k in self.scene_tree:
+                    self.scene_tree[k] = bool(v)
+        return dict(self.scene_tree)
+
+    def cancel_render(self) -> dict:
+        with self.lock:
+            if not self.render_job.get("running"):
+                return {"error": "no render running"}
+            self.render_job["cancel"] = True
+        return {"cancelling": True}
+
+    def render_status(self) -> dict:
+        # bytes (the preview frame) stay out of the JSON status
+        return {
+            k: v for k, v in self.render_job.items() if not k.startswith("_")
+        }
+
+    def render_preview(self) -> bytes | None:
+        return self.render_job.get("_preview")
 
     def path_cameras(self, steps_per_transition: int = 12) -> list:
         """Client-previewable interpolated path frames."""
@@ -382,10 +529,24 @@ class ViewerState:
             try:
                 frames = []
                 for i in range(cams.num_cameras):
+                    if self.render_job.get("cancel"):
+                        self.render_job["cancelled"] = True
+                        return
                     with self.lock:
                         outputs = self.trainer.render_camera(cams, i)
                     frames.append(self._to_rgb8(outputs, output))
                     self.render_job["frame"] = i + 1
+                    # latest frame as JPEG for the render-preview modal
+                    try:
+                        from PIL import Image
+
+                        buf = io.BytesIO()
+                        Image.fromarray(frames[-1]).save(
+                            buf, format="JPEG", quality=80
+                        )
+                        self.render_job["_preview"] = buf.getvalue()
+                    except Exception:
+                        pass
                 out_path.parent.mkdir(parents=True, exist_ok=True)
                 try:
                     import imageio
@@ -570,7 +731,15 @@ def make_handler(state: ViewerState):
                     200, json.dumps({"keyframes": state.keyframes}).encode()
                 )
             elif self.path == "/render_status":
-                self._send(200, json.dumps(state.render_job).encode())
+                self._send(200, json.dumps(state.render_status()).encode())
+            elif self.path == "/render_preview":
+                preview = state.render_preview()
+                if preview:
+                    self._send(200, preview, "image/jpeg")
+                else:
+                    self._send(404, b"{}")
+            elif self.path == "/scene_tree":
+                self._send(200, json.dumps(state.set_scene_tree()).encode())
             elif self.path == "/scene_cameras":
                 self._send(200, json.dumps(state.scene_cameras()).encode())
             elif self.path == "/logs":
@@ -599,6 +768,19 @@ def make_handler(state: ViewerState):
                         req["c2w"], req.get("fov", 60.0), req.get("time")
                     )
                     self._send(200, json.dumps({"count": count}).encode())
+                elif self.path == "/update_keyframe":
+                    payload = state.update_keyframe(
+                        int(req["index"]), req.get("c2w"),
+                        req.get("fov"), req.get("time"),
+                    )
+                    self._send(200, json.dumps(payload).encode())
+                elif self.path == "/scene_tree":
+                    payload = state.set_scene_tree(req)
+                    self._send(200, json.dumps(payload).encode())
+                elif self.path == "/cancel_render":
+                    self._send(
+                        200, json.dumps(state.cancel_render()).encode()
+                    )
                 elif self.path == "/remove_keyframe":
                     idx = int(req["index"])
                     if 0 <= idx < len(state.keyframes):

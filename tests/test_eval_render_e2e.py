@@ -59,7 +59,10 @@ def test_eval_json_matches_ns_eval_schema(trained_run):
                 "num_rays_per_sec", "fps"):
         assert key in results, key
     assert np.isfinite(results["psnr"])
-    # lpips/dyn metrics may be NaN without weights/detector — but present
+    # lpips/dyn metrics degrade to an explicit null (not NaN) without
+    # weights/detector — present, and valid JSON either way
+    for key in ("lpips", "dlpips"):
+        assert results[key] is None or np.isfinite(results[key])
 
 
 def test_render_spiral_and_camera_path(trained_run, tmp_path):
