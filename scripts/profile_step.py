@@ -62,6 +62,8 @@ def parse(n_steps: int, top: int = 45):
         src = src.replace("/opt/venv/lib/python3.12/site-packages/", "")
         op = e.get("name", "?")
         kind = op.split(".")[0]
+        if src == "?" and "--ops" in sys.argv:
+            kind = op[:60]
         agg[f"{src} [{kind}]"] += dur
         total += dur
     print(f"\n== device busy: {total/n_steps/1e3:.1f} ms/step ==")

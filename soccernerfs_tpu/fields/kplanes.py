@@ -341,25 +341,21 @@ def interpolate_kplanes_bwdsorted(
     per_scale = [1.0] * n_scales
     for (c2, _w0), members in groups.items():
         for s, grids in enumerate(ms_grids):
-            packeds, rowids, txs = [], [], []
-            tyf = None
-            w = None
+            packeds, coords = [], []
+            h = w = None
             for ci, c1 in members:
                 is_time_plane = has_time and 3 in (c1, c2)
                 grid = grids[ci]
                 if freeze_space_planes and not is_time_plane:
                     grid = jax.lax.stop_gradient(grid)
                 h, w, _f = grid.shape
-                xc, txf = grid_coords(pts[:, c1], w)
-                yc, tyf = grid_coords(pts[:, c2], h)
                 packeds.append(
                     quad_pack(grid) if ms_packed is None else ms_packed[s][ci]
                 )
-                rowids.append(yc * w + xc)
-                txs.append(txf)
+                coords.append(pts[:, c1])
             feats = plane_sample_group_bwdsort(
-                packeds, rowids, txs, tyf, pts[:, c2],
-                w=w, use_pallas_bwd=True,
+                packeds, coords, pts[:, c2],
+                h=h, w=w, use_pallas_bwd=True,
             )
             for fo in feats:
                 per_scale[s] = per_scale[s] * fo

@@ -380,11 +380,10 @@ def plane_sample_unpacked_group(
 
 def plane_sample_group_bwdsort(
     packeds,
-    rowids,
-    txs,
-    ty: jnp.ndarray,
+    coords,
     ykey: jnp.ndarray,
     *,
+    h: int,
     w: int,
     use_pallas_bwd: bool,
     interpret: bool | None = None,
@@ -399,16 +398,32 @@ def plane_sample_group_bwdsort(
     backward actually executes.
 
     Args:
-        ykey: the shared stripe coordinate (continuous), the sort key.
-        packeds: P quad-packed planes [R, 4F] (4F <= 128), same shape;
-        other args as plane_sample_fold_group, but row ids in ANY order.
+        coords: P [M] continuous x coordinates in [-1, 1] (one per
+            plane); row ids / lerp fractions are derived via grid_coords
+            INSIDE the op, so the backward sort carries only the P raw
+            coordinates plus ykey and iota (P+2 operands) instead of
+            (rowid, tx) per plane plus ty (2P+3) — sort time is linear
+            in operand count (~1.3 ns/elem each, PERF.md).
+        ykey: the shared stripe coordinate (continuous, [-1, 1]), both
+            the sort key and the source of the y cell/fraction.
+        packeds: P quad-packed planes [R, 4F] (4F <= 128), same shape.
     """
     r, lanes = packeds[0].shape
     feat = lanes // 4
     if interpret is None:
         interpret = PALLAS_INTERPRET
 
+    def derive(cs, yk):
+        yc, tyf = grid_coords(yk, h)
+        rowids, txs = [], []
+        for c in cs:
+            xc, txf = grid_coords(c, w)
+            rowids.append(yc * w + xc)
+            txs.append(txf)
+        return rowids, txs, tyf
+
     if not use_pallas_bwd or FORCE_XLA_BWD:
+        rowids, txs, ty = derive(coords, ykey)
         return [
             _bilerp_rows(p, rowid, tx, ty, feat)
             for p, rowid, tx in zip(packeds, rowids, txs)
@@ -417,7 +432,7 @@ def plane_sample_group_bwdsort(
     from soccernerfs_tpu.ops.pallas import plane_kernels as pk
 
     planes = len(packeds)
-    m = rowids[0].shape[0]
+    m = coords[0].shape[0]
     g_pack = 128 // lanes
     w4 = max(1, w // g_pack)
     r4 = r // g_pack
@@ -426,27 +441,25 @@ def plane_sample_group_bwdsort(
     group = max(1, min(4096 // (tr * planes), -(-r4 // tr)))
 
     @jax.custom_vjp
-    def op(packeds, rowids, txs, ty, ykey):
+    def op(packeds, coords, ykey):
+        rowids, txs, ty = derive(coords, ykey)
         return [
             _bilerp_rows(p, rowid, tx, ty, feat)
             for p, rowid, tx in zip(packeds, rowids, txs)
         ]
 
-    def op_fwd(packeds, rowids, txs, ty, ykey):
-        return op(packeds, rowids, txs, ty, ykey), (rowids, txs, ty, ykey)
+    def op_fwd(packeds, coords, ykey):
+        return op(packeds, coords, ykey), (coords, ykey)
 
     def op_bwd(res, gs):
-        rowids_, txs_, ty_, ykey_ = res
+        coords_, ykey_ = res
         iota = jnp.arange(m, dtype=jnp.int32)
-        # the point payload rides SORT OPERANDS: extra operands cost
-        # ~1.3 ns/element while a narrow [M, k<=128] row gather pays the
-        # full per-row price (rows are lane-tile-padded)
-        sorted_ops = jax.lax.sort(
-            (ykey_, *rowids_, *txs_, ty_, iota), num_keys=1
+        # only the raw coordinates ride the sort; rowids/txs/ty are
+        # recomputed from the sorted coords (cheap elementwise, fused)
+        sorted_ops = jax.lax.sort((ykey_, *coords_, iota), num_keys=1)
+        s_rowids, s_txs, s_ty = derive(
+            sorted_ops[1 : 1 + planes], sorted_ops[0]
         )
-        s_rowids = list(sorted_ops[1 : 1 + planes])
-        s_txs = list(sorted_ops[1 + planes : 1 + 2 * planes])
-        s_ty = sorted_ops[1 + 2 * planes]
         perm = sorted_ops[-1]
         g_cat = jnp.take(
             jnp.concatenate([g.astype(jnp.bfloat16) for g in gs], axis=-1),
@@ -459,14 +472,11 @@ def plane_sample_group_bwdsort(
             gs_sorted, s_rowids, s_txs, s_ty, r=r, tr=tr, group=group,
             interpret=interpret,
         )
-        zero_i = [np.zeros(ri.shape, dtype=jax.dtypes.float0) for ri in rowids_]
         return (
             [g.astype(packeds[0].dtype) for g in grads],
-            zero_i,
-            [jnp.zeros_like(t) for t in txs_],
-            jnp.zeros_like(ty_),
+            [jnp.zeros_like(c) for c in coords_],
             jnp.zeros_like(ykey_),
         )
 
     op.defvjp(op_fwd, op_bwd)
-    return op(list(packeds), list(rowids), list(txs), ty, ykey)
+    return op(list(packeds), list(coords), ykey)
