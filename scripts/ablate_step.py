@@ -6,6 +6,7 @@ Ablations: full, noprop (pruned proposal bwd), frozen_grids,
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -127,6 +128,20 @@ def build(ablation: str):
         loss, grads = jax.value_and_grad(loss_fn)(state["params"])
         updates, opt_state = optimizer.update(grads, state["opt_state"])
         new_params = optax.apply_updates(state["params"], updates)
+        if os.environ.get("SNT_PIN_LAYOUT"):
+            from jax.experimental import layout
+
+            def pin(x):
+                if hasattr(x, "ndim") and x.ndim == 3:
+                    return layout.with_layout_constraint(
+                        x, layout.Layout(tuple(range(x.ndim))))
+                return x
+
+            new_params = dict(new_params)
+            new_params["fields"] = dict(new_params["fields"])
+            new_params["fields"]["grids"] = jax.tree_util.tree_map(
+                pin, new_params["fields"]["grids"]
+            )
         return (
             {"params": new_params, "opt_state": opt_state, "step": step + 1,
              "aux": new_aux},
