@@ -113,6 +113,19 @@ class Trainer:
                     "plane sampler (pose grads need sample positions) — "
                     "expect a slower train step on TPU"
                 )
+            # same story for the hash-grid families' detached-input
+            # encode fast path: pose grads must flow through positions.
+            if getattr(self.model_cfg, "detached_inputs", False):
+                import dataclasses
+
+                self.model_cfg = dataclasses.replace(
+                    self.model_cfg, detached_inputs=False
+                )
+                print(
+                    "[trainer] camera optimizer is on: enabling encode "
+                    "input gradients (pose grads flow through sample "
+                    "positions) — expect a slower train step on TPU"
+                )
 
         opt_configs = dict(config.optimizers)
         if self.cam_opt_cfg.mode != "off" and "camera_opt" not in opt_configs:

@@ -50,6 +50,13 @@ class NerfplayerFieldConfig:
     num_images: int = 0
     sh_degree: int = 4
     desired_resolution: int = 1024
+    # True when sample positions/times carry no loss gradient (PDF bins
+    # stop-gradient'ed, camera optimizer off — the registry defaults):
+    # the encode backward then skips the dead input-cotangent work.  The
+    # Trainer flips this off when a camera optimizer is enabled.  The
+    # DEFORMED-position encode always keeps the full backward (the
+    # deformation MLP's gradient rides the encode's position cotangent).
+    detached_inputs: bool = True
 
     @property
     def feature_dim(self) -> int:
@@ -65,6 +72,9 @@ class NerfplayerFieldConfig:
             base_resolution=self.base_resolution,
             per_level_scale=1.4472692012786865,
             log2_hashmap_size=self.log2_hashmap_size,
+            # paired z-corner gathers on TPU — halves the stationary
+            # encodes' gather rows (see HashGridConfig.hash_scheme)
+            hash_scheme="zline",
         )
 
     @property
@@ -126,8 +136,14 @@ def nerfplayer_density(
     deformation = mlp_apply(params["deformation_field"], pts, activation="relu")
     deformed = pts + deformation
 
-    # 2. stationary features at both positions, time-conditioned MLP
-    v_stat = hash_grid_encode(cfg.static_grid, params["stationary_field"], pts)
+    # 2. stationary features at both positions, time-conditioned MLP.
+    # DEFORMED positions carry gradient into the deformation MLP and
+    # keep the full backward; the raw-pts encodes skip the dead
+    # input-cotangent work when cfg.detached_inputs (see config).
+    ig = not cfg.detached_inputs
+    v_stat = hash_grid_encode(
+        cfg.static_grid, params["stationary_field"], pts, input_grads=ig
+    )
     v_deform = hash_grid_encode(cfg.static_grid, params["stationary_field"], deformed)
     v_stat = mlp_apply(
         params["stationary_field_mlp"], jnp.concatenate([v_stat, t], -1), activation="relu"
@@ -137,10 +153,16 @@ def nerfplayer_density(
     )
 
     # 3. newness features
-    v_new = hash_grid_encode(cfg.temporal_grid, params["newness_field"], pts, times)
+    v_new = hash_grid_encode(
+        cfg.temporal_grid, params["newness_field"], pts, times,
+        input_grads=ig,
+    )
 
     # 4. decomposition probabilities
-    v_decomp = hash_grid_encode(cfg.temporal_grid, params["decomposition_field"], pts, times)
+    v_decomp = hash_grid_encode(
+        cfg.temporal_grid, params["decomposition_field"], pts, times,
+        input_grads=ig,
+    )
     probs = jax.nn.softmax(
         mlp_apply(params["decomposition_mlp"], v_decomp, activation="relu"), axis=-1
     )

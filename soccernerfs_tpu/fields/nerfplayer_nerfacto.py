@@ -56,6 +56,11 @@ class NerfplayerNerfactoFieldConfig:
     num_images: int = 0
     sh_degree: int = 4
     desired_resolution: int = 1024  # scaled by aabb extent in the reference
+    # True when sample positions/times carry no loss gradient (PDF bins
+    # stop-gradient'ed, camera optimizer off — the registry defaults):
+    # the encode backward then skips the dead input-cotangent work.  The
+    # Trainer flips this off when a camera optimizer is enabled.
+    detached_inputs: bool = True
 
     @property
     def grid(self) -> HashGridConfig:
@@ -100,7 +105,8 @@ def nerfplayer_nerfacto_density(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(ref: nerfplayer_nerfacto_field.py:318-352 get_density)."""
     pts = _normalize(cfg.disable_scene_contraction, positions, aabb)
-    feats = hash_grid_encode(cfg.grid, params["grid"], pts, times)
+    feats = hash_grid_encode(cfg.grid, params["grid"], pts, times,
+                             input_grads=not cfg.detached_inputs)
     out = mlp_apply(params["mlp_base_decode"], feats, activation="relu")
     return trunc_exp(out[..., 0]), out[..., 1:]
 
@@ -152,6 +158,7 @@ class TemporalHashMLPDensityFieldConfig:
     log2_hashmap_size: int = 18
     features_per_level: int = 2
     disable_scene_contraction: bool = False
+    detached_inputs: bool = True  # see NerfplayerNerfactoFieldConfig
 
     @property
     def grid(self) -> HashGridConfig:
@@ -183,7 +190,8 @@ def temporal_density_field_density(
 ) -> jnp.ndarray:
     """(ref: nerfplayer_nerfacto_field.py:133-150)."""
     pts = _normalize(cfg.disable_scene_contraction, positions, aabb)
-    feats = hash_grid_encode(cfg.grid, params["grid"], pts, times)
+    feats = hash_grid_encode(cfg.grid, params["grid"], pts, times,
+                             input_grads=not cfg.detached_inputs)
     density_before = mlp_apply(params["mlp"], feats, activation="relu")[..., 0]
     return trunc_exp(density_before)
 

@@ -47,6 +47,8 @@ class NerfplayerNGPFieldConfig:
     disable_viewing_dependent: bool = True
     contraction_type: str = "aabb"
     sh_degree: int = 4
+    # see NerfplayerNerfactoFieldConfig.detached_inputs
+    detached_inputs: bool = True
 
     @property
     def grid(self) -> HashGridConfig:
@@ -98,7 +100,8 @@ def nerfplayer_ngp_density(
     times: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     pts = _normalize(cfg, positions, aabb)
-    feats = hash_grid_encode(cfg.grid, params["grid"], pts, times)
+    feats = hash_grid_encode(cfg.grid, params["grid"], pts, times,
+                             input_grads=not cfg.detached_inputs)
     out = mlp_apply(params["mlp_base"], feats, activation="relu")
     return trunc_exp(out[..., 0]), out[..., 1:]
 

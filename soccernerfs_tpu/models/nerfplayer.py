@@ -78,6 +78,9 @@ class Config:
     proposal_weights_anneal_max_num_iters: int = 1000
     use_single_jitter: bool = True
     disable_scene_contraction: bool = False
+    # flipped off by the Trainer when a camera optimizer is enabled
+    # (see fields/nerfplayer.py NerfplayerFieldConfig.detached_inputs)
+    detached_inputs: bool = True
     eval_num_rays_per_chunk: int = 1 << 15
 
     def __post_init__(self):
@@ -102,6 +105,7 @@ class Config:
             disable_viewing_dependent=self.disable_viewing_dependent,
             disable_scene_contraction=self.disable_scene_contraction,
             num_images=num_images,
+            detached_inputs=self.detached_inputs,
         )
 
     def density_field_configs(self):
@@ -114,7 +118,8 @@ class Config:
         for i in indices:
             if i not in built:
                 built[i] = TemporalHashMLPDensityFieldConfig(
-                    disable_scene_contraction=self.disable_scene_contraction, **dict(args[i])
+                    disable_scene_contraction=self.disable_scene_contraction,
+                    detached_inputs=self.detached_inputs, **dict(args[i])
                 )
         return [(i, built[i]) for i in indices]
 

@@ -56,6 +56,9 @@ class Config:
     near_plane: float = 0.05
     far_plane: float = 1e3
     use_appearance_embedding: bool = False
+    # flipped off by the Trainer when a camera optimizer is enabled
+    # (see fields/nerfplayer_ngp.py .detached_inputs)
+    detached_inputs: bool = True
     eval_num_rays_per_chunk: int = 8192
 
     def field_config(self, num_images: int = 0) -> NerfplayerNGPFieldConfig:
@@ -70,6 +73,7 @@ class Config:
             disable_viewing_dependent=self.disable_viewing_dependent,
             contraction_type=self.contraction_type,
             num_images=num_images,
+            detached_inputs=self.detached_inputs,
         )
 
     @property

@@ -62,6 +62,9 @@ class Config:
     render_step_size: float = 0.001
     near_plane: float = 0.05
     far_plane: float = 1e3
+    # flipped off by the Trainer when a camera optimizer is enabled
+    # (see fields/nerfplayer.py NerfplayerFieldConfig.detached_inputs)
+    detached_inputs: bool = True
     eval_num_rays_per_chunk: int = 8192
 
     def field_config(self, num_images: int = 0) -> NerfplayerFieldConfig:
@@ -74,6 +77,7 @@ class Config:
             disable_viewing_dependent=self.disable_viewing_dependent,
             disable_scene_contraction=self.contraction_type == "aabb",
             num_images=num_images,
+            detached_inputs=self.detached_inputs,
         )
 
     @property

@@ -243,6 +243,9 @@ SCATTER_INTERPRET = False
 # per-level corner-feature residual budget: below this, the backward
 # reuses saved features; above it, it re-gathers (see _hash_level_apply)
 _RESIDUAL_BYTES_CAP = 64 * 1024 * 1024
+# larger allowance for the temporal backward's merged bf16 update stream
+# when the input-cotangent transients (f32 acc / corner feats) are skipped
+_MERGED_GW_BYTES_CAP = 512 * 1024 * 1024
 
 
 def _temporal_row_pad(c_row: int) -> int:
@@ -273,7 +276,7 @@ def _use_scatter_kernel(C: int, rows: int) -> bool:
     )
 
 
-def _hash_level_apply(lvl_table, idxs, ws):
+def _hash_level_apply(lvl_table, idxs, ws, input_grads: bool = True):
     """sum_k ws[k][:, None] * lvl_table[idxs[k]] with a sorted-scatter
     backward for the table gradient.
 
@@ -282,6 +285,11 @@ def _hash_level_apply(lvl_table, idxs, ws):
         idxs: [K, B] int32 LOCAL row indices (corners stacked).
         ws: [K, B] f32 interpolation weights (carry gradient to
             positions via the frac products).
+        input_grads: static; False when the caller's positions are
+            detached (no camera optimizer / deformation) — the backward
+            then skips the d_ws corner re-gathers and reductions
+            entirely instead of relying on XLA DCE (which does not fire
+            across the custom-VJP boundary in the full step).
     Returns:
         [B, C] f32.
     """
@@ -301,7 +309,8 @@ def _hash_level_apply(lvl_table, idxs, ws):
     # sample counts the stacks for all levels together blow HBM — large
     # levels RE-GATHER per corner in the backward instead
     K, B = idxs.shape
-    save_feats = K * B * lvl_table.shape[-1] * 4 <= _RESIDUAL_BYTES_CAP
+    save_feats = (input_grads
+                  and K * B * lvl_table.shape[-1] * 4 <= _RESIDUAL_BYTES_CAP)
 
     def op_fwd(lvl_table, idxs, ws):
         if save_feats:
@@ -321,10 +330,12 @@ def _hash_level_apply(lvl_table, idxs, ws):
         lvl_table, idxs, ws, feats = res
         C = lvl_table.shape[-1]
         zero_i = np.zeros(idxs.shape, dtype=jax.dtypes.float0)
-        if feats is not None:
+        merged = K * B * C * 4 <= _RESIDUAL_BYTES_CAP
+        if feats is not None or (not input_grads and merged):
             # small level: ONE merged sort (gradients ride sort operands)
             # and one kernel pass over all corners
-            d_ws = jnp.einsum("bc,kbc->kb", g, feats)
+            d_ws = (jnp.einsum("bc,kbc->kb", g, feats) if input_grads
+                    else jnp.zeros(ws.shape, ws.dtype))
             gw = (ws[:, :, None] * g[None]).reshape(K * B, C)
             srt = jax.lax.sort(
                 (idxs.reshape(K * B), *(gw[:, ch] for ch in range(C))),
@@ -340,22 +351,25 @@ def _hash_level_apply(lvl_table, idxs, ws):
         d_ws = []
         iota = jnp.arange(B, dtype=jnp.int32)
         for k in range(K):
-            feats_k = jnp.take(lvl_table, idxs[k], axis=0, mode="clip")
-            d_ws.append(jnp.einsum("bc,bc->b", g, feats_k))
+            if input_grads:
+                feats_k = jnp.take(lvl_table, idxs[k], axis=0, mode="clip")
+                d_ws.append(jnp.einsum("bc,bc->b", g, feats_k))
             gw_k = ws[k][:, None] * g                         # [B, C]
             idx_s, perm = jax.lax.sort((idxs[k], iota), num_keys=1)
             gw_s = jnp.take(gw_k, perm, axis=0, mode="clip")
             d_table = d_table + pk.sorted_scatter_add(
                 gw_s, idx_s, r=rows, c=C, interpret=SCATTER_INTERPRET,
             )
-        return (d_table.astype(lvl_table.dtype), zero_i,
-                jnp.stack(d_ws))
+        d_ws_out = (jnp.stack(d_ws) if input_grads
+                    else jnp.zeros(ws.shape, ws.dtype))
+        return (d_table.astype(lvl_table.dtype), zero_i, d_ws_out)
 
     op.defvjp(op_fwd, op_bwd)
     return op(lvl_table, idxs, ws)
 
 
-def _hash_level_apply_paired(lvl_table, idxs, wxy, fz):
+def _hash_level_apply_paired(lvl_table, idxs, wxy, fz,
+                             input_grads: bool = True):
     """zline-hash level forward: each of the 2^(D-1) leading-corner rows
     fetches BOTH z-corners from a roll-packed [rows, 2C] bf16 copy —
     half the gather rows of _hash_level_apply, with a sorted-scatter
@@ -394,7 +408,8 @@ def _hash_level_apply_paired(lvl_table, idxs, wxy, fz):
             )
         return out
 
-    save_feats = K2 * B * 2 * C * 2 <= _RESIDUAL_BYTES_CAP  # bf16 feats
+    save_feats = (input_grads
+                  and K2 * B * 2 * C * 2 <= _RESIDUAL_BYTES_CAP)  # bf16
 
     def op_fwd(lvl_table, idxs, wxy, fz):
         p2 = pack2(lvl_table)
@@ -422,14 +437,19 @@ def _hash_level_apply_paired(lvl_table, idxs, wxy, fz):
         wz0 = 1.0 - wz1
         # the pair update: one key (idx), payload [wz0*g, wz1*g] * wxy_k
         g2 = jnp.concatenate([wz0 * g, wz1 * g], axis=-1)    # [B, 2C]
-        if feats is not None:
-            f32 = feats.astype(jnp.float32)
-            fcomb = wz0[None] * f32[..., :C] + wz1[None] * f32[..., C:]
-            d_wxy = jnp.einsum("bc,kbc->kb", g, fcomb)
-            d_fz = jnp.einsum(
-                "bc,kbc->b", g,
-                wxy[:, :, None] * (f32[..., C:] - f32[..., :C]),
-            )
+        merged = K2 * B * 2 * C * 4 <= _RESIDUAL_BYTES_CAP
+        if feats is not None or (not input_grads and merged):
+            if input_grads:
+                f32 = feats.astype(jnp.float32)
+                fcomb = wz0[None] * f32[..., :C] + wz1[None] * f32[..., C:]
+                d_wxy = jnp.einsum("bc,kbc->kb", g, fcomb)
+                d_fz = jnp.einsum(
+                    "bc,kbc->b", g,
+                    wxy[:, :, None] * (f32[..., C:] - f32[..., :C]),
+                )
+            else:
+                d_wxy = jnp.zeros(wxy.shape, wxy.dtype)
+                d_fz = jnp.zeros(fz.shape, fz.dtype)
             gw = (wxy[:, :, None] * g2[None]).reshape(K2 * B, 2 * C)
             srt = jax.lax.sort(
                 (idxs.reshape(K2 * B), *(gw[:, ch] for ch in range(2 * C))),
@@ -443,20 +463,21 @@ def _hash_level_apply_paired(lvl_table, idxs, wxy, fz):
             return (d_table.astype(lvl_table.dtype), zero_i, d_wxy,
                     d_fz)
         # big level: bound peak memory — re-gather and scatter per corner
-        p2 = pack2(lvl_table)
+        p2 = pack2(lvl_table) if input_grads else None
         d_table = jnp.zeros((rows, 2 * C), jnp.float32)
         d_wxy = []
         d_fz = 0.0
         iota = jnp.arange(B, dtype=jnp.int32)
         for k in range(K2):
-            f = jnp.take(p2, idxs[k], axis=0, mode="clip").astype(
-                jnp.float32
-            )
-            fcomb_k = wz0 * f[:, :C] + wz1 * f[:, C:]
-            d_wxy.append(jnp.einsum("bc,bc->b", g, fcomb_k))
-            d_fz = d_fz + wxy[k] * jnp.einsum(
-                "bc,bc->b", g, f[:, C:] - f[:, :C]
-            )
+            if input_grads:
+                f = jnp.take(p2, idxs[k], axis=0, mode="clip").astype(
+                    jnp.float32
+                )
+                fcomb_k = wz0 * f[:, :C] + wz1 * f[:, C:]
+                d_wxy.append(jnp.einsum("bc,bc->b", g, fcomb_k))
+                d_fz = d_fz + wxy[k] * jnp.einsum(
+                    "bc,bc->b", g, f[:, C:] - f[:, :C]
+                )
             gw_k = wxy[k][:, None] * g2                      # [B, 2C]
             idx_s, perm = jax.lax.sort((idxs[k], iota), num_keys=1)
             gw_s = jnp.take(gw_k, perm, axis=0, mode="clip")
@@ -464,8 +485,11 @@ def _hash_level_apply_paired(lvl_table, idxs, wxy, fz):
                 gw_s, idx_s, r=rows, c=2 * C, interpret=SCATTER_INTERPRET,
             )
         d_table = d_table[:, :C] + jnp.roll(d_table[:, C:], 1, axis=0)
-        return (d_table.astype(lvl_table.dtype), zero_i,
-                jnp.stack(d_wxy), d_fz)
+        d_wxy_out = (jnp.stack(d_wxy) if input_grads
+                     else jnp.zeros(wxy.shape, wxy.dtype))
+        d_fz_out = d_fz if input_grads else jnp.zeros(fz.shape, fz.dtype)
+        return (d_table.astype(lvl_table.dtype), zero_i, d_wxy_out,
+                d_fz_out)
 
     op.defvjp(op_fwd, op_bwd)
     return op(lvl_table, idxs, wxy, fz)
@@ -488,7 +512,8 @@ def _window_pick(acc, ch_a, w_a, ch_b, w_b):
     return jnp.stack(cols, axis=-1)
 
 
-def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
+def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
+                               input_grads: bool = True):
     """Temporal sliding-window variant of _hash_level_apply.
 
     The window interpolation is LINEAR in the gathered rows and its
@@ -548,7 +573,6 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
         lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b = res
         K, B = idxs.shape
         ch_i = jnp.arange(c_row, dtype=ch_a.dtype)[None, :]
-        t16 = lvl_table.astype(jnp.bfloat16)
         # u[b, c] = sum_l g[b, l] (w_a 1[ch_a==c] + w_b 1[ch_b==c]):
         # d(out)/d(acc), shared by every corner
         u = 0.0
@@ -558,39 +582,60 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
                 w_a[:, l:l + 1] * (ch_a[:, l:l + 1] == ch_i)
                 + w_b[:, l:l + 1] * (ch_b[:, l:l + 1] == ch_i)
             )
-        # d_w{a,b}[b, l] = g[b, l] * acc[b, ch_{a,b}[b, l]]; at big B the
-        # [B, C_row] f32 acc is not materialized — per-corner picks are
-        # summed instead (linear in the corner sum)
-        d_ws = []
-        if _acc_small:
-            acc = 0.0
-            for k in range(K):
-                feats_k = jnp.take(t16, idxs[k], axis=0, mode="clip")
-                acc = acc + ws[k][:, None] * feats_k
-                d_ws.append(jnp.sum(feats_k.astype(u.dtype) * u, axis=-1))
-            da, db = [], []
-            for l in range(g.shape[-1]):
-                am = ch_a[:, l:l + 1] == ch_i
-                bm = ch_b[:, l:l + 1] == ch_i
-                da.append(g[:, l] * jnp.sum(jnp.where(am, acc, 0.0), -1))
-                db.append(g[:, l] * jnp.sum(jnp.where(bm, acc, 0.0), -1))
-        else:
-            da = [0.0] * g.shape[-1]
-            db = [0.0] * g.shape[-1]
-            for k in range(K):
-                feats_k = jnp.take(t16, idxs[k], axis=0, mode="clip")
-                d_ws.append(jnp.sum(feats_k.astype(u.dtype) * u, axis=-1))
+        if input_grads:
+            t16 = lvl_table.astype(jnp.bfloat16)
+            # d_w{a,b}[b, l] = g[b, l] * acc[b, ch_{a,b}[b, l]]; at big B
+            # the [B, C_row] f32 acc is not materialized — per-corner
+            # picks are summed instead (linear in the corner sum)
+            d_ws = []
+            if _acc_small:
+                acc = 0.0
+                for k in range(K):
+                    feats_k = jnp.take(t16, idxs[k], axis=0, mode="clip")
+                    acc = acc + ws[k][:, None] * feats_k
+                    d_ws.append(jnp.sum(feats_k.astype(u.dtype) * u,
+                                        axis=-1))
+                da, db = [], []
                 for l in range(g.shape[-1]):
                     am = ch_a[:, l:l + 1] == ch_i
                     bm = ch_b[:, l:l + 1] == ch_i
-                    gk = g[:, l] * ws[k]
-                    da[l] = da[l] + gk * jnp.sum(
-                        jnp.where(am, feats_k, 0.0), -1)
-                    db[l] = db[l] + gk * jnp.sum(
-                        jnp.where(bm, feats_k, 0.0), -1)
-        d_wa = jnp.stack(da, axis=-1)
-        d_wb = jnp.stack(db, axis=-1)
-        merged = K * B * c_pad * 2 <= _RESIDUAL_BYTES_CAP
+                    da.append(g[:, l] * jnp.sum(jnp.where(am, acc, 0.0),
+                                                -1))
+                    db.append(g[:, l] * jnp.sum(jnp.where(bm, acc, 0.0),
+                                                -1))
+            else:
+                da = [0.0] * g.shape[-1]
+                db = [0.0] * g.shape[-1]
+                for k in range(K):
+                    feats_k = jnp.take(t16, idxs[k], axis=0, mode="clip")
+                    d_ws.append(jnp.sum(feats_k.astype(u.dtype) * u,
+                                        axis=-1))
+                    for l in range(g.shape[-1]):
+                        am = ch_a[:, l:l + 1] == ch_i
+                        bm = ch_b[:, l:l + 1] == ch_i
+                        gk = g[:, l] * ws[k]
+                        da[l] = da[l] + gk * jnp.sum(
+                            jnp.where(am, feats_k, 0.0), -1)
+                        db[l] = db[l] + gk * jnp.sum(
+                            jnp.where(bm, feats_k, 0.0), -1)
+            d_wa = jnp.stack(da, axis=-1)
+            d_wb = jnp.stack(db, axis=-1)
+            d_ws_out = jnp.stack(d_ws)
+        else:
+            # positions/times detached: skip the corner re-gathers and
+            # pick reductions — only the table gradient survives
+            d_wa = jnp.zeros(w_a.shape, w_a.dtype)
+            d_wb = jnp.zeros(w_b.shape, w_b.dtype)
+            d_ws_out = jnp.zeros(ws.shape, ws.dtype)
+        # per-corner splitting exists to bound transients; with the
+        # input-cotangent work skipped the only big transient left is the
+        # bf16 gw stream, so a larger cap applies — merging saves the
+        # K-1 extra [rows, c_row] f32 d_table accumulations and kernel
+        # launches (slice_add was ~38 ms/step at nerfplayer-nerfacto
+        # scale, PERF.md r4)
+        gw_cap = (_MERGED_GW_BYTES_CAP if not input_grads
+                  else _RESIDUAL_BYTES_CAP)
+        merged = K * B * c_pad * 2 <= gw_cap
         if merged:
             # one sort + one kernel pass over all corners
             gw = (ws[:, :, None] * u[None]).astype(jnp.bfloat16)
@@ -620,7 +665,7 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
                 )[:, :c_row]
         zi = np.zeros(idxs.shape, dtype=jax.dtypes.float0)
         zc = np.zeros(ch_a.shape, dtype=jax.dtypes.float0)
-        return (d_table.astype(lvl_table.dtype), zi, jnp.stack(d_ws),
+        return (d_table.astype(lvl_table.dtype), zi, d_ws_out,
                 zc, d_wa, zc, d_wb)
 
     op.defvjp(op_fwd, op_bwd)
@@ -632,13 +677,26 @@ def hash_grid_encode(
     params: dict,
     xyz: jnp.ndarray,
     time: Optional[jnp.ndarray] = None,
+    *,
+    input_grads: bool = True,
 ) -> jnp.ndarray:
     """Encode points (optionally with time) -> [B, num_levels * level_dim].
 
     Args:
         xyz: [B, input_dim] in [0, 1].
         time: [B] in [0, 1]; required when cfg.temporal_dim > 0.
+        input_grads: pass False when xyz/time are constants w.r.t. the
+            loss (detached PDF samples, no camera optimizer, no
+            deformation upstream): the inputs are stop-gradient'ed and
+            the level backward skips the position/time cotangent work —
+            per-corner feature RE-GATHERS plus the window-pick
+            reductions, which otherwise dominate the temporal backward
+            (nerfplayer family, PERF.md r4).  The custom-VJP boundary
+            hides that work from XLA's DCE, so the skip must be explicit.
     """
+    if not input_grads:
+        xyz = jax.lax.stop_gradient(xyz)
+        time = jax.lax.stop_gradient(time) if time is not None else None
     offsets, scales, resolutions = level_layout(cfg)
     table = params["embeddings"]
     B = xyz.shape[0]
@@ -728,7 +786,8 @@ def hash_grid_encode(
                 for off in lead
             ])
             outputs.append(_hash_level_apply_paired(
-                lvl_table, idxs, wxy, frac[:, -1]
+                lvl_table, idxs, wxy, frac[:, -1],
+                input_grads=input_grads,
             ))
             continue
 
@@ -754,10 +813,12 @@ def hash_grid_encode(
             ])
             if cfg.temporal_dim > 0:
                 outputs.append(_hash_level_apply_temporal(
-                    lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b
+                    lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
+                    input_grads=input_grads,
                 ))
             else:
-                outputs.append(_hash_level_apply(lvl_table, idxs, ws))
+                outputs.append(_hash_level_apply(
+                    lvl_table, idxs, ws, input_grads=input_grads))
             continue
 
 

@@ -348,3 +348,47 @@ def test_temporal_wide_rows_full_line_scatter(monkeypatch):
         np.asarray(g_new["embeddings"]) / s,
         np.asarray(g_ref["embeddings"]) / s, atol=2e-2,
     )
+
+
+def test_input_grads_false_table_grad_parity(monkeypatch):
+    """input_grads=False must leave the TABLE gradient bit-identical on
+    every level path (static xor, zline paired, temporal window) while
+    skipping the position/time cotangent work (those grads become
+    zero/absent by stop_gradient semantics)."""
+    import soccernerfs_tpu.ops.hash_grid as hg
+
+    monkeypatch.setattr(hg, "SCATTER_INTERPRET", True)
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.uniform(0, 1, (96, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0.1, 0.9, (96,)).astype(np.float32))
+
+    cases = [
+        (HashGridConfig(temporal_dim=0, num_levels=3, level_dim=2,
+                        base_resolution=8, per_level_scale=2.0,
+                        log2_hashmap_size=8), False),
+        (HashGridConfig(temporal_dim=0, num_levels=3, level_dim=2,
+                        base_resolution=8, per_level_scale=2.0,
+                        log2_hashmap_size=8, hash_scheme="zline"), False),
+        (HashGridConfig(temporal_dim=8, num_levels=3, level_dim=2,
+                        base_resolution=8, per_level_scale=2.0,
+                        log2_hashmap_size=8), True),
+    ]
+    for cfg, with_time in cases:
+        params = init_hash_grid(jax.random.PRNGKey(3), cfg, std=0.5)
+        tt = t if with_time else None
+        cot = jnp.asarray(rng.standard_normal(
+            (96, cfg.num_levels * cfg.level_dim), dtype=np.float32))
+
+        def loss(p, ig):
+            return jnp.vdot(
+                hash_grid_encode(cfg, p, x, tt, input_grads=ig), cot)
+
+        out_a = hash_grid_encode(cfg, params, x, tt, input_grads=True)
+        out_b = hash_grid_encode(cfg, params, x, tt, input_grads=False)
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+        g_a = jax.grad(lambda p: loss(p, True))(params)
+        g_b = jax.grad(lambda p: loss(p, False))(params)
+        np.testing.assert_allclose(
+            np.asarray(g_a["embeddings"]), np.asarray(g_b["embeddings"]),
+            rtol=0, atol=0)
