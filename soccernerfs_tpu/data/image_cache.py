@@ -75,8 +75,10 @@ class ImageBatchCache:
         times_arr = np.asarray(self.dataset.cameras.times)
         times = sorted(set(times_arr.tolist()))
         if pick_mode == "randsteps":
-            cam_ids = np.asarray(self.dataset.cameras.ids).tolist()
-            nb_unique_cams = len(set(cam_ids))
+            ids = self.dataset.cameras.ids
+            nb_unique_cams = (
+                1 if ids is None else len(set(np.asarray(ids).tolist()))
+            )
             steps_to_pick = int(to_sample / nb_unique_cams)
             picked = [times[0], times[-1]]
             if steps_to_pick > 2:

@@ -60,6 +60,14 @@ def _ist_kernel(images: jnp.ndarray, close_mask: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.map(per_frame, (images, close_mask))
 
 
+def _cam_ids(cameras, img_idx: np.ndarray) -> np.ndarray:
+    """Per-frame physical-camera ids for the IS grouping; datasets
+    without multi-camera metadata (e.g. d-nerf) are one camera."""
+    if cameras.ids is None:
+        return np.zeros(img_idx.shape, dtype=np.int32)
+    return np.asarray(cameras.ids)[img_idx]
+
+
 def compute_ist(
     dataset, batch: Dict, ist_range: float, split: str, offline: bool = False
 ) -> Optional[np.ndarray]:
@@ -86,7 +94,7 @@ def compute_ist(
 
     img_idx = np.asarray(batch["image_idx"])
     cam_times = np.asarray(cameras.times)[img_idx]  # [B]
-    cam_ids = np.asarray(cameras.ids)[img_idx]  # [B]
+    cam_ids = _cam_ids(cameras, img_idx)  # [B]
 
     out = np.zeros((B, H, W), dtype=np.float16)
     for cam in np.unique(cam_ids):
@@ -132,7 +140,7 @@ def compute_isg(
             return cached
 
     img_idx = np.asarray(batch["image_idx"])
-    cam_ids = np.asarray(cameras.ids)[img_idx]
+    cam_ids = _cam_ids(cameras, img_idx)
 
     out = np.zeros((B, H, W), dtype=np.float16)
     for cam in np.unique(cam_ids):

@@ -49,8 +49,14 @@ def render_rgb(
         if background_color == "last_sample":
             bg = rgb[..., -1, :]
         elif background_color == "random":
-            assert rng is not None, "random background needs an rng key"
-            bg = jax.random.uniform(rng, comp_rgb.shape)
+            # the reference draws from the global torch RNG even at eval
+            # (renderers.py:104-105); outside training a fixed key keeps
+            # whole-image renders deterministic
+            assert rng is not None or not train, (
+                "random background needs an rng key in training"
+            )
+            key = rng if rng is not None else jax.random.PRNGKey(0)
+            bg = jax.random.uniform(key, comp_rgb.shape)
         else:
             bg = jnp.asarray(BACKGROUND_COLORS[background_color], dtype=comp_rgb.dtype)
     else:

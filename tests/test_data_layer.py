@@ -133,6 +133,33 @@ def test_ist_uniform_fallback(broadcast_root):
     np.testing.assert_array_equal(np.asarray(w, np.float32), 1.0)
 
 
+def test_ist_without_camera_ids(broadcast_root):
+    """Datasets without multi-camera metadata (cameras.ids=None, e.g.
+    d-nerf) group all frames as one camera instead of crashing
+    (regression: dnerf-data + nerfplayer-* via the CLI)."""
+    import dataclasses
+
+    from soccernerfs_tpu.data.datasets import DynamicDataset, ImportanceSamplingConfig
+    from soccernerfs_tpu.data import importance
+
+    outputs = BroadcaststyleDataParserConfig(
+        data=broadcast_root, fps_downsample=1.0
+    ).setup().get_dataparser_outputs("train")
+    outputs = dataclasses.replace(
+        outputs, cameras=dataclasses.replace(outputs.cameras, ids=None)
+    )
+    ds = DynamicDataset(outputs, is_config=ImportanceSamplingConfig(ist_range=1.0))
+    batch = {
+        "image_idx": np.arange(len(ds)),
+        "image": np.stack([ds.get_image(i) for i in range(len(ds))]),
+    }
+    w_ist = importance.compute_ist(ds, batch, ist_range=1.0, split="train")
+    assert w_ist.shape == batch["image"].shape[:3]
+    assert (w_ist > 0).any()
+    w_isg = importance.compute_isg(ds, batch, gamma=1e-3, split="train")
+    assert w_isg.shape == batch["image"].shape[:3]
+
+
 def test_dynamic_pixel_sampler_ratio_and_fallback():
     h, w, n = 16, 16, 4
     batch = {
