@@ -8,8 +8,10 @@ Subcommands (mirroring ns-export):
   tsdf           depth-map TSDF fusion into a voxel grid -> mesh (PLY)
                  via marching tetrahedra
   marching-cubes density-field isosurface -> mesh (PLY)
-  poisson        unavailable without open3d; prints guidance (the
-                 reference shells out to open3d for this path)
+  poisson        screened-Poisson surface reconstruction from rendered
+                 depth maps -> mesh (PLY); own FFT indicator-function
+                 solver (ops/poisson.py) instead of the reference's
+                 open3d dependency
 
     python -m soccernerfs_tpu.scripts.exporter pointcloud \
         --load-config <run>/config.yml --output-dir exports/
@@ -219,12 +221,45 @@ def cmd_tsdf(args):
 
 
 def cmd_poisson(args):
-    raise SystemExit(
-        "poisson surface reconstruction requires open3d, which is not "
-        "available in this environment; export a point cloud with "
-        "`snt-export pointcloud` and run Poisson externally "
-        "(the reference shells out to open3d for this path too)."
+    """Screened-Poisson mesh from rendered depth maps (ref: exporter.py
+    ExportPoissonMesh — open3d there; own FFT solver in ops/poisson.py).
+
+    Normals come from the structured backprojected point maps (cross
+    product of image-space tangents, camera-facing orientation) — the
+    same role open3d's ``estimate_normals`` plays in the reference.
+    """
+    from soccernerfs_tpu.core.cameras import generate_image_rays
+    from soccernerfs_tpu.ops.poisson import depth_map_normals, poisson_reconstruct
+    from soccernerfs_tpu.utils.eval_utils import eval_setup
+
+    _, trainer, _ = eval_setup(args.load_config, "inference")
+    cams = trainer.eval_cameras
+    pts, nrms = [], []
+    for idx in range(min(args.num_cameras, cams.num_cameras)):
+        outputs = trainer.render_camera(cams, idx)
+        rays = generate_image_rays(cams, idx)
+        h, w = outputs["rgb"].shape[:2]
+        origins = np.asarray(rays.origins).reshape(h, w, 3)
+        dirs = np.asarray(rays.directions).reshape(h, w, 3)
+        pmap = origins + dirs * outputs["depth"][..., None]
+        normals = depth_map_normals(pmap, origins)
+        keep = outputs["accumulation"] > 0.5
+        sl = (slice(None, None, args.downsample),) * 2
+        keep = keep[sl]
+        pts.append(pmap[sl][keep])
+        nrms.append(normals[sl][keep])
+    pts = np.concatenate(pts)
+    nrms = np.concatenate(nrms)
+    if args.num_points and pts.shape[0] > args.num_points:
+        sel = np.random.default_rng(0).choice(
+            pts.shape[0], args.num_points, replace=False
+        )
+        pts, nrms = pts[sel], nrms[sel]
+    aabb = np.stack([pts.min(0), pts.max(0)])
+    verts, faces = poisson_reconstruct(
+        pts, nrms, aabb, resolution=args.resolution
     )
+    write_ply(args.output_dir / "poisson_mesh.ply", verts, faces=faces)
 
 
 def main(argv=None):
@@ -257,6 +292,10 @@ def main(argv=None):
     p.set_defaults(fn=cmd_tsdf)
 
     p = sub.add_parser("poisson"); common(p)
+    p.add_argument("--resolution", type=int, default=192)
+    p.add_argument("--num-points", type=int, default=1_000_000)
+    p.add_argument("--num-cameras", type=int, default=10)
+    p.add_argument("--downsample", type=int, default=2)
     p.set_defaults(fn=cmd_poisson)
 
     args = parser.parse_args(argv)

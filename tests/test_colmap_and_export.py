@@ -57,6 +57,37 @@ def test_qvec_identity():
     )
 
 
+def test_poisson_reconstruct_sphere():
+    """FFT screened-Poisson recovers a unit sphere from an oriented
+    point cloud to sub-voxel accuracy (replaces the reference's open3d
+    ExportPoissonMesh path; ref: scripts/exporter.py)."""
+    from soccernerfs_tpu.ops.poisson import poisson_reconstruct
+
+    rng = np.random.default_rng(0)
+    n = rng.normal(size=(5000, 3))
+    n /= np.linalg.norm(n, axis=1, keepdims=True)
+    aabb = np.array([[-1.2] * 3, [1.2] * 3])
+    verts, faces = poisson_reconstruct(n, n, aabb, resolution=64)
+    assert verts.shape[0] > 1000 and faces.shape[0] > 1000
+    r = np.linalg.norm(verts, axis=1)
+    assert abs(r.mean() - 1.0) < 0.02
+    assert r.std() < 0.02
+    # faces index valid vertices
+    assert faces.min() >= 0 and faces.max() < verts.shape[0]
+
+
+def test_depth_map_normals_plane():
+    """Structured point-map normals on an axis-aligned plane point back
+    toward the camera side."""
+    from soccernerfs_tpu.ops.poisson import depth_map_normals
+
+    xs, ys = np.meshgrid(np.linspace(0, 1, 8), np.linspace(0, 1, 8))
+    pmap = np.stack([xs, ys, np.zeros_like(xs)], axis=-1)
+    cam = np.array([0.5, 0.5, 2.0])
+    nrm = depth_map_normals(pmap, cam)
+    np.testing.assert_allclose(nrm[..., 2], 1.0, atol=1e-6)
+
+
 def test_ply_writer(tmp_path):
     from soccernerfs_tpu.scripts.exporter import write_ply
 
