@@ -244,8 +244,12 @@ SCATTER_INTERPRET = False
 # reuses saved features; above it, it re-gathers (see _hash_level_apply)
 _RESIDUAL_BYTES_CAP = 64 * 1024 * 1024
 # larger allowance for the temporal backward's merged bf16 update stream
-# when the input-cotangent transients (f32 acc / corner feats) are skipped
-_MERGED_GW_BYTES_CAP = 512 * 1024 * 1024
+# when the input-cotangent transients (f32 acc / corner feats) are skipped.
+# Sized against the LANE-PADDED HBM footprint (row-major bf16 tiles to
+# T(8,128)(2,1): 66 cols occupy 128 lanes) and the fact that the sort
+# gather keeps gw + gw_s live together per level — 512M here OOM'd
+# nerfplayer (8 x 384M padded buffers at K*B=1.57M rows, c_row=66).
+_MERGED_GW_BYTES_CAP = 128 * 1024 * 1024
 
 
 def _temporal_row_pad(c_row: int) -> int:
@@ -635,7 +639,8 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
         # scale, PERF.md r4)
         gw_cap = (_MERGED_GW_BYTES_CAP if not input_grads
                   else _RESIDUAL_BYTES_CAP)
-        merged = K * B * c_pad * 2 <= gw_cap
+        lanes = -(-c_pad // 128) * 128  # row-major T(8,128) lane pad
+        merged = K * B * lanes * 2 <= gw_cap
         if merged:
             # one sort + one kernel pass over all corners
             gw = (ws[:, :, None] * u[None]).astype(jnp.bfloat16)
