@@ -1,0 +1,408 @@
+"""Stage ablations of the TEMPORAL hash-grid encode on TPU (nerfplayer
+family roofline).  profile_method.py attributes ~63% of nerfplayer's
+1,982 ms step to the temporal custom-VJP call line; this pins WHICH
+stage (index prep / corner gathers / window pick / u build / gw stream /
+sort / perm gather / scatter kernel) carries the time, at the step's two
+dominant scales:
+
+  prop1:  B = 4096 rays x 256 samples = 1,048,576; 5 levels, rows 2^17,
+          c_row = 2 + 32 = 34
+  main:   B = 4096 x 48 = 196,608; 16 levels, rows 2^17, c_row = 66
+          (newness + decomposition: x2)
+
+Uses the marginal-cost harness (microbench_r2.bench) — axon tunnel adds
+~30 ms/call and closures become baked constants.
+
+Run (TPU): python scripts/diag_temporal.py [prop1|main|encode|all]
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from scripts.microbench_r2 import bench  # noqa: E402
+
+from soccernerfs_tpu.ops import hash_grid as hg  # noqa: E402
+from soccernerfs_tpu.ops.pallas import plane_kernels as pk  # noqa: E402
+
+rng = np.random.default_rng(0)
+
+
+def make_level(B, rows, c_row, res=64, temporal_dim=32, level_dim=2):
+    """One hashed temporal level's inputs: table, idxs, ws, window picks."""
+    table = jnp.asarray(
+        rng.standard_normal((rows, c_row)).astype(np.float32))
+    pos0 = rng.integers(0, res - 1, (B, 3)).astype(np.int32)
+    frac = rng.uniform(0, 1, (B, 3)).astype(np.float32)
+    corner_offsets = np.stack(
+        np.meshgrid(*([np.arange(2)] * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    primes = np.array([1958374283, 2654435761, 805459861], np.uint32)
+    idxs = []
+    ws = []
+    for c in range(8):
+        corner = (pos0 + corner_offsets[c]).astype(np.uint32)
+        h = (corner * primes[None, :]).astype(np.uint32)
+        idx = (h[:, 0] ^ h[:, 1] ^ h[:, 2]) % rows
+        idxs.append(idx.astype(np.int32))
+        w = np.prod(
+            np.where(corner_offsets[c][None, :] == 1, frac, 1 - frac),
+            axis=-1,
+        )
+        ws.append(w.astype(np.float32))
+    idxs = jnp.asarray(np.stack(idxs))
+    ws = jnp.asarray(np.stack(ws))
+    # temporal window: level_dim output channels, each picks 2 adjacent
+    # columns of the c_row row
+    ch_a = jnp.asarray(
+        rng.integers(0, c_row - 1, (B, level_dim)).astype(np.int32))
+    ch_b = ch_a + 1
+    w_a = jnp.asarray(rng.uniform(0, 1, (B, level_dim)).astype(np.float32))
+    w_b = 1.0 - w_a
+    g = jnp.asarray(rng.standard_normal((B, level_dim)).astype(np.float32))
+    return dict(table=table, idxs=idxs, ws=ws, ch_a=ch_a, w_a=w_a,
+                ch_b=ch_b, w_b=w_b, g=g)
+
+
+def stage_ablation(name, B, rows, c_row, n1=3, n2=9):
+    lv = make_level(B, rows, c_row)
+    c_pad = hg._temporal_row_pad(c_row)
+    K = 8
+    print(f"== {name}: B={B} rows={rows} c_row={c_row} c_pad={c_pad} ==")
+
+    def st_gather(c, a):
+        t16 = (a["table"] + c).astype(jnp.bfloat16)
+        acc = 0.0
+        for k in range(K):
+            acc = acc + a["ws"][k][:, None] * jnp.take(
+                t16, a["idxs"][k], axis=0, mode="clip")
+        return c + jnp.sum(acc.astype(jnp.float32)) * 1e-20
+
+    bench(f"{name} fwd corner gathers+acc (K=8)", st_gather,
+          jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+    def st_pick(c, a):
+        acc = jnp.broadcast_to(
+            (a["w_a"][:, :1] + c), (B, c_row)).astype(jnp.float32)
+        out = hg._window_pick(acc, a["ch_a"], a["w_a"], a["ch_b"], a["w_b"])
+        return c + jnp.sum(out) * 1e-20
+
+    bench(f"{name} window pick", st_pick, jnp.float32(0.0), lv,
+          n1=n1, n2=n2)
+
+    def st_u(c, a):
+        g = a["g"] + c
+        ch_i = jnp.arange(c_row, dtype=jnp.int32)[None, :]
+        u = 0.0
+        for l in range(g.shape[-1]):
+            u = u + g[:, l:l + 1] * (
+                a["w_a"][:, l:l + 1] * (a["ch_a"][:, l:l + 1] == ch_i)
+                + a["w_b"][:, l:l + 1] * (a["ch_b"][:, l:l + 1] == ch_i)
+            )
+        return c + jnp.sum(u) * 1e-20
+
+    bench(f"{name} u build", st_u, jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+    def st_gw(c, a):
+        u = jnp.broadcast_to(a["g"][:, :1] + c, (B, c_row))
+        tot = jnp.float32(0.0)
+        for k in range(K):
+            gw_k = (a["ws"][k][:, None] * u).astype(jnp.bfloat16)
+            if c_pad > c_row:
+                gw_k = jnp.pad(gw_k, ((0, 0), (0, c_pad - c_row)))
+            tot = tot + jnp.sum(gw_k.astype(jnp.float32)) * 1e-20
+        return c + tot
+
+    bench(f"{name} gw stream+pad (K=8)", st_gw, jnp.float32(0.0), lv,
+          n1=n1, n2=n2)
+
+    def st_sort(c, a):
+        iota = jnp.arange(B, dtype=jnp.int32)
+        tot = jnp.float32(0.0)
+        for k in range(K):
+            idx_s, perm = jax.lax.sort(
+                (a["idxs"][k] + c.astype(jnp.int32) * 0, iota), num_keys=1)
+            tot = tot + idx_s[0].astype(jnp.float32) + perm[-1].astype(
+                jnp.float32)
+        return c + tot * 1e-20
+
+    bench(f"{name} per-corner sorts (K=8)", st_sort, jnp.float32(0.0),
+          lv, n1=n1, n2=n2)
+
+    def st_permgather(c, a):
+        u = jnp.broadcast_to(a["g"][:, :1] + c, (B, c_row))
+        iota = jnp.arange(B, dtype=jnp.int32)
+        tot = jnp.float32(0.0)
+        for k in range(K):
+            gw_k = (a["ws"][k][:, None] * u).astype(jnp.bfloat16)
+            if c_pad > c_row:
+                gw_k = jnp.pad(gw_k, ((0, 0), (0, c_pad - c_row)))
+            idx_s, perm = jax.lax.sort(
+                (a["idxs"][k], iota), num_keys=1)
+            gw_s = jnp.take(gw_k, perm, axis=0, mode="clip")
+            tot = tot + jnp.sum(gw_s.astype(jnp.float32)) * 1e-20
+        return c + tot
+
+    bench(f"{name} sorts+perm gathers (K=8)", st_permgather,
+          jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+    def st_full_bwd(c, a):
+        u = jnp.broadcast_to(a["g"][:, :1] + c, (B, c_row))
+        iota = jnp.arange(B, dtype=jnp.int32)
+        d_table = jnp.zeros((rows, c_row), jnp.float32)
+        for k in range(K):
+            gw_k = (a["ws"][k][:, None] * u).astype(jnp.bfloat16)
+            if c_pad > c_row:
+                gw_k = jnp.pad(gw_k, ((0, 0), (0, c_pad - c_row)))
+            idx_s, perm = jax.lax.sort((a["idxs"][k], iota), num_keys=1)
+            gw_s = jnp.take(gw_k, perm, axis=0, mode="clip")
+            d_table = d_table + pk.sorted_scatter_add(
+                gw_s, idx_s, r=rows, c=c_pad)[:, :c_row]
+        return c + jnp.sum(d_table) * 1e-20
+
+    bench(f"{name} FULL bwd per-corner (sort+perm+scatter+acc)",
+          st_full_bwd, jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+    def st_merged_bwd(c, a):
+        u = jnp.broadcast_to(a["g"][:, :1] + c, (B, c_row))
+        gw = (a["ws"][:, :, None] * u[None]).astype(jnp.bfloat16)
+        gw = gw.reshape(K * B, c_row)
+        if c_pad > c_row:
+            gw = jnp.pad(gw, ((0, 0), (0, c_pad - c_row)))
+        iota = jnp.arange(K * B, dtype=jnp.int32)
+        idx_s, perm = jax.lax.sort(
+            (a["idxs"].reshape(K * B), iota), num_keys=1)
+        gw_s = jnp.take(gw, perm, axis=0, mode="clip")
+        d_table = pk.sorted_scatter_add(
+            gw_s, idx_s, r=rows, c=c_pad)[:, :c_row]
+        return c + jnp.sum(d_table) * 1e-20
+
+    bench(f"{name} FULL bwd MERGED (1 sort over K*B)", st_merged_bwd,
+          jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+
+def compact_ablation(name, B, rows, c_row, L=2, n1=3, n2=9):
+    """Candidate bwd restructures: the dense gw perm gather reads a
+    [B, c_pad] bf16 source (256 MB at prop1) at the LARGE-source gather
+    rate (~14 ns/row); the gw row is a ws-scaled sum of 2L one-hot
+    channel picks, so a compact [B, 4L] payload (16 MB source) can ride
+    the permute instead and expand AFTER the sort."""
+    lv = make_level(B, rows, c_row, level_dim=L)
+    c_pad = hg._temporal_row_pad(c_row)
+    K = 8
+    print(f"== {name} compact: B={B} rows={rows} c_row={c_row} "
+          f"c_pad={c_pad} 2L={2 * L} ==")
+    # pay: [B, 4L] f32 = (2L vals, 2L channel ids as f32)
+    ch_i = jnp.arange(c_row, dtype=jnp.int32)[None, :]
+
+    def build_pay(a, c):
+        g = a["g"] + c
+        vals = jnp.concatenate(
+            [g * a["w_a"], g * a["w_b"]], axis=-1)          # [B, 2L]
+        chs = jnp.concatenate(
+            [a["ch_a"], a["ch_b"]], axis=-1).astype(jnp.float32)
+        return jnp.concatenate([vals, chs], axis=-1)        # [B, 4L]
+
+    def expand(pay_s, ws_s):
+        vals = pay_s[:, :2 * L]
+        chs = pay_s[:, 2 * L:].astype(jnp.int32)
+        gw = 0.0
+        for j in range(2 * L):
+            gw = gw + vals[:, j:j + 1] * (chs[:, j:j + 1] == ch_i)
+        gw = (ws_s[:, None] * gw).astype(jnp.bfloat16)
+        if c_pad > c_row:
+            gw = jnp.pad(gw, ((0, 0), (0, c_pad - c_row)))
+        return gw
+
+    def st_compact(c, a):
+        pay = build_pay(a, c)
+        iota = jnp.arange(B, dtype=jnp.int32)
+        d_table = jnp.zeros((rows, c_row), jnp.float32)
+        for k in range(K):
+            idx_s, ws_s, perm = jax.lax.sort(
+                (a["idxs"][k], a["ws"][k], iota), num_keys=1)
+            pay_s = jnp.take(pay, perm, axis=0, mode="clip")
+            gw_s = expand(pay_s, ws_s)
+            d_table = d_table + pk.sorted_scatter_add(
+                gw_s, idx_s, r=rows, c=c_pad)[:, :c_row]
+        return c + jnp.sum(d_table) * 1e-20
+
+    bench(f"{name} bwd COMPACT perm-gather+expand", st_compact,
+          jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+    def st_operands(c, a):
+        pay = build_pay(a, c)
+        d_table = jnp.zeros((rows, c_row), jnp.float32)
+        for k in range(K):
+            srt = jax.lax.sort(
+                (a["idxs"][k], a["ws"][k],
+                 *(pay[:, j] for j in range(4 * L))), num_keys=1)
+            idx_s, ws_s = srt[0], srt[1]
+            pay_s = jnp.stack(srt[2:], axis=-1)
+            gw_s = expand(pay_s, ws_s)
+            d_table = d_table + pk.sorted_scatter_add(
+                gw_s, idx_s, r=rows, c=c_pad)[:, :c_row]
+        return c + jnp.sum(d_table) * 1e-20
+
+    bench(f"{name} bwd COMPACT payload-on-sort-operands", st_operands,
+          jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+    def st_compact_merged(c, a):
+        pay = build_pay(a, c)
+        iota = jnp.arange(K * B, dtype=jnp.int32)
+        idx_s, ws_s, perm = jax.lax.sort(
+            (a["idxs"].reshape(K * B), a["ws"].reshape(K * B), iota),
+            num_keys=1)
+        pay_s = jnp.take(pay, perm % B, axis=0, mode="clip")
+        gw_s = expand(pay_s, ws_s)
+        d_table = pk.sorted_scatter_add(
+            gw_s, idx_s, r=rows, c=c_pad)[:, :c_row]
+        return c + jnp.sum(d_table) * 1e-20
+
+    bench(f"{name} bwd COMPACT MERGED (1 sort, mod-B gather)",
+          st_compact_merged, jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+
+def encode_ab():
+    """Whole-encode A/B at the nerfplayer field scales."""
+    from soccernerfs_tpu.ops.hash_grid import HashGridConfig, hash_grid_encode
+
+    for name, B, levels, t_dim, max_res in (
+        ("prop1", 1_048_576, 5, 32, 64),
+        ("prop2", 393_216, 5, 32, 256),
+        ("main-temporal", 196_608, 16, 64, 1024),
+    ):
+        cfg = HashGridConfig(
+            num_levels=levels, level_dim=2, base_resolution=16,
+            per_level_scale=(max_res / 16) ** (1 / max(levels - 1, 1)),
+            log2_hashmap_size=17, temporal_dim=t_dim,
+        )
+        key = jax.random.PRNGKey(0)
+        params = hg.init_hash_grid(key, cfg)
+        xyz = jnp.asarray(rng.uniform(0, 1, (B, 3)).astype(np.float32))
+        tm = jnp.asarray(rng.uniform(0, 1, (B,)).astype(np.float32))
+
+        def fwd(c, a):
+            p, xyz_, tm_ = a
+            out = hash_grid_encode(
+                cfg, {"embeddings": p["embeddings"] + c}, xyz_, tm_,
+                input_grads=False)
+            return c + jnp.sum(out) * 1e-20
+
+        bench(f"{name} encode FWD only", fwd, jnp.float32(0.0),
+              (params, xyz, tm), n1=3, n2=9)
+
+        def fwdbwd(c, a, ig=False):
+            p, xyz_, tm_ = a
+
+            def loss(emb):
+                out = hash_grid_encode(
+                    cfg, {"embeddings": emb}, xyz_, tm_, input_grads=ig)
+                return jnp.sum(out * (1.0 + c))
+
+            gr = jax.grad(loss)(p["embeddings"])
+            return c + jnp.sum(gr) * 1e-20
+
+        bench(f"{name} encode FWD+BWD detached", fwdbwd,
+              jnp.float32(0.0), (params, xyz, tm), n1=3, n2=9)
+        bench(f"{name} encode FWD+BWD full input grads",
+              lambda c, a: fwdbwd(c, a, ig=True), jnp.float32(0.0),
+              (params, xyz, tm), n1=3, n2=9)
+
+
+def fwd_ablation(name, B, levels, t_dim, max_res, n1=3, n2=9):
+    """Attribute the whole-encode forward: prep (hash/ws/tri) vs gathers
+    vs window pick, by substituting each stage with a same-shape
+    broadcast."""
+    from soccernerfs_tpu.ops.hash_grid import HashGridConfig
+
+    cfg = HashGridConfig(
+        num_levels=levels, level_dim=2, base_resolution=16,
+        per_level_scale=(max_res / 16) ** (1 / max(levels - 1, 1)),
+        log2_hashmap_size=17, temporal_dim=t_dim,
+    )
+    params = hg.init_hash_grid(jax.random.PRNGKey(0), cfg)
+    xyz = jnp.asarray(rng.uniform(0, 1, (B, 3)).astype(np.float32))
+    tm = jnp.asarray(rng.uniform(0, 1, (B,)).astype(np.float32))
+    offsets, scales, resolutions = hg.level_layout(cfg)
+    corner_offsets = np.stack(
+        np.meshgrid(*([np.arange(2)] * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    print(f"== {name} fwd ablation: B={B} levels={levels} ==")
+
+    def run(c, a, do_gather=True, do_pick=True, do_prep=True):
+        p, xyz_, tm_ = a
+        table = p["embeddings"] + c
+        tri = hg.get_temporal_index(cfg, tm_).reshape(B, cfg.level_dim, 4)
+        w_a, ch_a = tri[..., 0], tri[..., 1].astype(jnp.int32)
+        w_b, ch_b = tri[..., 2], tri[..., 3].astype(jnp.int32)
+        outs = []
+        for lvl in range(cfg.num_levels):
+            res = resolutions[lvl]
+            rows = offsets[lvl + 1] - offsets[lvl]
+            pos = xyz_ * scales[lvl] + 0.5
+            pos0 = jnp.floor(pos)
+            frac = pos - pos0
+            pos0 = pos0.astype(jnp.int32)
+            lvl_table = jax.lax.dynamic_slice_in_dim(
+                table, offsets[lvl], rows, axis=0)
+            t16 = lvl_table.astype(jnp.bfloat16)
+            if do_prep:
+                idxs = [hg._hash_index(pos0 + corner_offsets[k], res,
+                                       rows, cfg, False)
+                        for k in range(8)]
+                ws = [jnp.prod(
+                    jnp.where(corner_offsets[k][None, :] == 1, frac,
+                              1.0 - frac), axis=-1) for k in range(8)]
+            else:
+                idxs = [pos0[:, 0] for _ in range(8)]
+                ws = [frac[:, 0] for _ in range(8)]
+            acc = 0.0
+            for k in range(8):
+                if do_gather:
+                    f = jnp.take(t16, idxs[k], axis=0, mode="clip")
+                else:
+                    f = (t16[:1] * idxs[k][:1, None].astype(jnp.bfloat16)
+                         ).astype(jnp.bfloat16) + jnp.zeros(
+                        (B, t16.shape[1]), jnp.bfloat16)
+                acc = acc + ws[k][:, None] * f
+            if do_pick:
+                outs.append(hg._window_pick(acc, ch_a, w_a, ch_b, w_b))
+            else:
+                outs.append(acc[:, :cfg.level_dim])
+        return c + jnp.sum(jnp.concatenate(outs, -1)) * 1e-20
+
+    args = (params, xyz, tm)
+    bench(f"{name} fwd FULL", run, jnp.float32(0.0), args, n1=n1, n2=n2)
+    bench(f"{name} fwd NO gathers",
+          lambda c, a: run(c, a, do_gather=False), jnp.float32(0.0),
+          args, n1=n1, n2=n2)
+    bench(f"{name} fwd NO pick",
+          lambda c, a: run(c, a, do_pick=False), jnp.float32(0.0),
+          args, n1=n1, n2=n2)
+    bench(f"{name} fwd NO prep (degenerate idx)",
+          lambda c, a: run(c, a, do_prep=False), jnp.float32(0.0),
+          args, n1=n1, n2=n2)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print("devices:", jax.devices())
+    if which in ("prop1", "all"):
+        stage_ablation("prop1", 1_048_576, 1 << 17, 34)
+    if which in ("main", "all"):
+        stage_ablation("main", 196_608, 1 << 17, 66)
+    if which in ("compact", "all"):
+        compact_ablation("prop1", 1_048_576, 1 << 17, 34)
+        compact_ablation("main", 196_608, 1 << 17, 66)
+    if which in ("fwd", "all"):
+        fwd_ablation("prop1", 1_048_576, 5, 32, 64)
+    if which in ("encode", "all"):
+        encode_ab()
+
+
+if __name__ == "__main__":
+    main()

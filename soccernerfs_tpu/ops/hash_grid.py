@@ -250,6 +250,9 @@ _RESIDUAL_BYTES_CAP = 64 * 1024 * 1024
 # gather keeps gw + gw_s live together per level — 512M here OOM'd
 # nerfplayer (8 x 384M padded buffers at K*B=1.57M rows, c_row=66).
 _MERGED_GW_BYTES_CAP = 128 * 1024 * 1024
+# dense-gw source size above which the temporal backward's per-corner
+# permute switches to the compact sort-operand payload (see op_bwd)
+_COMPACT_STREAM_BYTES = 128 * 1024 * 1024
 
 
 def _temporal_row_pad(c_row: int) -> int:
@@ -641,7 +644,43 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
                   else _RESIDUAL_BYTES_CAP)
         lanes = -(-c_pad // 128) * 128  # row-major T(8,128) lane pad
         merged = K * B * lanes * 2 <= gw_cap
-        if merged:
+        compact = (not merged
+                   and B * lanes * 2 >= _COMPACT_STREAM_BYTES)
+        if compact:
+            # LARGE-B levels (nerfplayer prop fields: B = 1M samples):
+            # permuting the dense [B, c_pad] bf16 gw stream reads a
+            # >=128 MB source at the large-source gather rate
+            # (~14 ns/row; 113 of 154 ms/level at prop1 scale) — but the
+            # gw row is a ws-scaled sum of 2L one-hot channel picks, so
+            # the 4L-lane COMPACT payload rides the sort as extra
+            # operands and expands to dense rows AFTER the permute
+            # (82.7 vs 153.6 ms/level measured, scripts/diag_temporal).
+            # At small B the dense source is small and per-corner dense
+            # wins (10.5 vs 17.0 at B=196k) — hence the byte gate.
+            L = g.shape[-1]
+            vals = jnp.concatenate([g * w_a, g * w_b], axis=-1)  # [B,2L]
+            chs = jnp.concatenate([ch_a, ch_b], axis=-1)         # [B,2L]
+            d_table = jnp.zeros((rows, c_row), jnp.float32)
+            for k in range(K):
+                srt = jax.lax.sort(
+                    (idxs[k], ws[k],
+                     *(vals[:, j] for j in range(2 * L)),
+                     *(chs[:, j] for j in range(2 * L))),
+                    num_keys=1,
+                )
+                idx_s, ws_s = srt[0], srt[1]
+                gw_s = 0.0
+                for j in range(2 * L):
+                    gw_s = gw_s + srt[2 + j][:, None] * (
+                        srt[2 + 2 * L + j][:, None] == ch_i)
+                gw_s = (ws_s[:, None] * gw_s).astype(jnp.bfloat16)
+                if c_pad > c_row:
+                    gw_s = jnp.pad(gw_s, ((0, 0), (0, c_pad - c_row)))
+                d_table = d_table + pk.sorted_scatter_add(
+                    gw_s, idx_s, r=rows, c=c_pad,
+                    interpret=SCATTER_INTERPRET,
+                )[:, :c_row]
+        elif merged:
             # one sort + one kernel pass over all corners
             gw = (ws[:, :, None] * u[None]).astype(jnp.bfloat16)
             gw = gw.reshape(K * B, c_row)

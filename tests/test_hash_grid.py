@@ -392,3 +392,40 @@ def test_input_grads_false_table_grad_parity(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(g_a["embeddings"]), np.asarray(g_b["embeddings"]),
             rtol=0, atol=0)
+
+
+def test_temporal_compact_stream_backward_parity(monkeypatch):
+    """The large-B compact sort-operand gw stream (channel picks expand
+    AFTER the permute) must produce the same table/position/time grads
+    as the dense per-corner stream (forced via _COMPACT_STREAM_BYTES)."""
+    import soccernerfs_tpu.ops.hash_grid as hg
+
+    monkeypatch.setattr(hg, "SCATTER_INTERPRET", True)
+    cfg = HashGridConfig(
+        temporal_dim=8, num_levels=3, level_dim=2, base_resolution=8,
+        per_level_scale=2.0, log2_hashmap_size=8,
+    )
+    params = init_hash_grid(jax.random.PRNGKey(23), cfg, std=0.5)
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.uniform(0, 1, (140, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0.1, 0.9, (140,)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal(
+        (140, cfg.num_levels * cfg.level_dim), dtype=np.float32))
+
+    def loss(p, x, t, ig):
+        return jnp.vdot(hash_grid_encode(cfg, p, x, t, input_grads=ig), cot)
+
+    grads_dense = {}
+    for ig in (True, False):
+        grads_dense[ig] = jax.grad(loss, argnums=(0, 1, 2))(
+            params, x, t, ig)
+
+    monkeypatch.setattr(hg, "_COMPACT_STREAM_BYTES", 1)  # force compact
+    for ig in (True, False):
+        g_c, gx_c, gt_c = jax.grad(loss, argnums=(0, 1, 2))(params, x, t, ig)
+        g_d, gx_d, gt_d = grads_dense[ig]
+        for a, b in [(g_c["embeddings"], g_d["embeddings"]),
+                     (gx_c, gx_d), (gt_c, gt_d)]:
+            s = np.abs(np.asarray(b)).max() + 1e-6
+            np.testing.assert_allclose(
+                np.asarray(a) / s, np.asarray(b) / s, atol=2e-2)
