@@ -52,6 +52,38 @@ class TrainState:
     aux: Any  # model schedule state
 
 
+_PIN_TABLE_BYTES = 64 * 1024 * 1024
+
+
+def _pin_big_table_layouts(tree):
+    """Anchor big 2-D tables (hash-grid embeddings, their grads and Adam
+    moments) to the unpadded column-major layout on TPU.
+
+    XLA's layout assignment otherwise flips the whole state-update chain
+    of the nerfplayer-nerfacto field to row-major {1,0:T(8,128)} — the 66
+    channel lanes pad to 128 (1.9x) and params, mu AND nu each
+    materialize a 2.72 GB relayout copy, pushing the step to 15.94 G >
+    15.75 G HBM (measured; the r3 program paid the same copies and fit
+    only by ~0.2 G).  Constraining the GRADIENTS and the UPDATED state
+    keeps the optimizer fusion and the donated in/out aliases in the
+    natural column-major form; the per-level {1,0}->{0,1} copies of the
+    scatter-kernel outputs that remain are ~20x smaller.  Pinning
+    column-major inside the encode backward instead was measured
+    counterproductive (ops/hash_grid.py NOTE), as was pinning row-major
+    anywhere (PERF.md r4 negative results)."""
+    if jax.default_backend() == "cpu":
+        return tree
+    from jax.experimental import layout
+
+    def pin(x):
+        if (hasattr(x, "ndim") and x.ndim == 2
+                and x.size * x.dtype.itemsize >= _PIN_TABLE_BYTES):
+            return layout.with_layout_constraint(x, layout.Layout((1, 0)))
+        return x
+
+    return jax.tree_util.tree_map(pin, tree)
+
+
 class Trainer:
     """(ref: engine/trainer.py:90-448)."""
 
@@ -277,8 +309,11 @@ class Trainer:
             rng_aux = jax.random.fold_in(
                 jax.random.fold_in(base_rng, step), 0x7FFFFFFF
             )
+            grads = _pin_big_table_layouts(grads)
             updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            params = _pin_big_table_layouts(params)
+            opt_state = _pin_big_table_layouts(opt_state)
             if hasattr(model, "update_aux"):
                 # non-trainable state updates (e.g. occupancy grid EMA)
                 new_aux = model.update_aux(model_cfg, params, aabb, step, new_aux, rng_aux)

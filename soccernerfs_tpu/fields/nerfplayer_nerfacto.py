@@ -169,6 +169,14 @@ class TemporalHashMLPDensityFieldConfig:
             base_resolution=self.base_res,
             desired_resolution=self.max_res,
             log2_hashmap_size=self.log2_hashmap_size,
+            # additive z hash: the registry prop nets run temporal_dim=32
+            # (c_row=34, pair row = 68 bf16 lanes = one tile), so the
+            # encode's paired forward halves the gather rows of the
+            # HASHED levels too (dense levels pair via the linear stride
+            # regardless of scheme); collision quality A/B'd equal for
+            # the static grids (PERF.md r3) and re-checked for the
+            # temporal prop fit (tests/test_hash_grid.py)
+            hash_scheme="zline",
         )
 
 

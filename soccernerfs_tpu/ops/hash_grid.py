@@ -253,6 +253,12 @@ _MERGED_GW_BYTES_CAP = 128 * 1024 * 1024
 # dense-gw source size above which the temporal backward's per-corner
 # permute switches to the compact sort-operand payload (see op_bwd)
 _COMPACT_STREAM_BYTES = 128 * 1024 * 1024
+# NOTE on layouts: pinning the per-level table cotangent column-major
+# here was measured COUNTERPRODUCTIVE (one extra padded {1,0} copy of
+# every d_table at constraint points, +2.9 GB HLO temps at
+# nerfplayer-nerfacto scale) — the {1,0} pressure comes from the grad
+# assembly/adam side, so the anchor lives in the Trainer's update step
+# (engine/trainer.py _pin_big_table_layouts), not in this backward.
 
 
 def _temporal_row_pad(c_row: int) -> int:
@@ -520,7 +526,8 @@ def _window_pick(acc, ch_a, w_a, ch_b, w_b):
 
 
 def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
-                               input_grads: bool = True):
+                               input_grads: bool = True,
+                               paired_fwd: bool = False):
     """Temporal sliding-window variant of _hash_level_apply.
 
     The window interpolation is LINEAR in the gathered rows and its
@@ -537,11 +544,36 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
         ws: [K, B] f32 corner weights (grad -> positions).
         ch_a/ch_b: [B, L] int32 channel picks; w_a/w_b: [B, L] f32
             temporal weights (grad -> time).
+        paired_fwd: static; True when consecutive corners sit in
+            adjacent table rows (dense stride or zline hash:
+            idxs[2k+1] == idxs[2k] + 1 mod rows) AND 2*c_row <= 128
+            bf16 lanes: the forward then gathers a roll-packed
+            [rows, 2*c_row] copy with the even-corner indices only —
+            same math, HALF the gather rows (the temporal forward is
+            gather-bound: 109 of 121 ms at nerfplayer prop scale,
+            scripts/diag_temporal.py fwd ablation).  The backward is
+            untouched (full 8-corner idxs/ws ride the residuals).
     Returns:
         [B, L] f32.
     """
     rows, c_row = lvl_table.shape
     c_pad = _temporal_row_pad(c_row)
+
+    def _corner_terms(t16, idxs, ws):
+        # yields ws-weighted [B, c_row] bf16-sourced terms, one per
+        # GATHER (2 corners/gather when paired); args must be the
+        # custom-vjp-traced values, never the enclosing scope's
+        if paired_fwd:
+            p2 = jnp.concatenate([t16, jnp.roll(t16, -1, axis=0)],
+                                 axis=-1)
+            for k2 in range(idxs.shape[0] // 2):
+                f = jnp.take(p2, idxs[2 * k2], axis=0, mode="clip")
+                yield (ws[2 * k2][:, None] * f[:, :c_row]
+                       + ws[2 * k2 + 1][:, None] * f[:, c_row:])
+        else:
+            for k in range(idxs.shape[0]):
+                yield ws[k][:, None] * jnp.take(
+                    t16, idxs[k], axis=0, mode="clip")
 
     # the [B, row_channels] f32 corner accumulator costs B*C_row*4 bytes
     # (528 MB at nerfplayer-ngp-complete scale — it alone pushed the step
@@ -557,15 +589,14 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
         t16 = lvl_table.astype(jnp.bfloat16)
         if _acc_small:
             acc = 0.0
-            for k in range(idxs.shape[0]):
-                acc = acc + ws[k][:, None] * jnp.take(
-                    t16, idxs[k], axis=0, mode="clip")
+            for term in _corner_terms(t16, idxs, ws):
+                acc = acc + term
             return _window_pick(acc, ch_a, w_a, ch_b, w_b)
         out = 0.0
-        for k in range(idxs.shape[0]):
-            feats_k = jnp.take(t16, idxs[k], axis=0, mode="clip")
-            out = out + ws[k][:, None] * _window_pick(
-                feats_k, ch_a, w_a, ch_b, w_b)
+        # the pick is linear, so it distributes over the (already
+        # ws-weighted) per-gather terms
+        for term in _corner_terms(t16, idxs, ws):
+            out = out + _window_pick(term, ch_a, w_a, ch_b, w_b)
         return out
 
     def op_fwd(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
@@ -856,9 +887,19 @@ def hash_grid_encode(
                 for c in range(n_corners)
             ])
             if cfg.temporal_dim > 0:
+                # consecutive corners (dz=0/dz=1) sit in adjacent rows
+                # when the index is linear in z — dense stride, or the
+                # additive zline hash — and the packed pair row must
+                # stay within one bf16 lane-tile (prop fields: c_row=34,
+                # pair=68 lanes; main fields' 66 -> 132 lanes miss)
+                paired_fwd = (
+                    (strided or cfg.hash_scheme == "zline")
+                    and 2 * C <= 128
+                    and n_corners % 2 == 0
+                )
                 outputs.append(_hash_level_apply_temporal(
                     lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
-                    input_grads=input_grads,
+                    input_grads=input_grads, paired_fwd=paired_fwd,
                 ))
             else:
                 outputs.append(_hash_level_apply(
@@ -894,12 +935,17 @@ def temporal_tv_loss(cfg: HashGridConfig, params: dict, rng: jax.Array) -> jnp.n
     """TV between a random pair of adjacent temporal channels
     (ref: temporal_grid.py:352-377).
 
-    The channel pair is extracted with a row-major matvec against a
-    one-hot difference vector, NOT ``jnp.take(..., axis=1)``: a column
-    gather (and its scatter transpose) makes XLA layout-assign
-    channel-major copies of the whole table — at nerfplayer-nerfacto
-    scale three ~1.6 GB transposed copies of the [5.7M, 66] embeddings
-    that pushed the step over HBM."""
+    The channel pair is extracted with an ELEMENTWISE broadcast-multiply
+    and an axis-1 reduce against a one-hot difference vector — NOT
+    ``jnp.take(..., axis=1)`` (a column gather and its scatter transpose
+    make XLA layout-assign channel-major copies of the whole table:
+    three ~1.6 GB transposed copies at nerfplayer-nerfacto scale) and
+    NOT ``table @ sel`` (a dot contracting dim 1 asks layout assignment
+    for a row-major {1,0:T(8,128)} operand; with the detached-input
+    backward's gathers gone that request flips params, mu AND nu of the
+    [5.7M, 66] field to the 128-lane-padded layout — three 2.72 GB
+    relayout copies, 1.9x expansion, HBM OOM).  A mul+reduce fusion
+    adapts to whatever layout the params already have."""
     _, _, _, index_list = temporal_tables(cfg)
     row_idx = jax.random.randint(rng, (), 0, index_list.shape[0])
     feat_idx = jnp.take(jnp.asarray(index_list), row_idx, axis=0)
@@ -907,4 +953,4 @@ def temporal_tv_loss(cfg: HashGridConfig, params: dict, rng: jax.Array) -> jnp.n
     ch = jnp.arange(table.shape[1], dtype=feat_idx.dtype)
     sel = ((ch == feat_idx[0]).astype(table.dtype)
            - (ch == feat_idx[1]).astype(table.dtype))
-    return jnp.mean(jnp.abs(table @ sel))
+    return jnp.mean(jnp.abs(jnp.sum(table * sel[None, :], axis=1)))

@@ -429,3 +429,56 @@ def test_temporal_compact_stream_backward_parity(monkeypatch):
             s = np.abs(np.asarray(b)).max() + 1e-6
             np.testing.assert_allclose(
                 np.asarray(a) / s, np.asarray(b) / s, atol=2e-2)
+
+
+def test_temporal_paired_forward_parity(monkeypatch):
+    """The paired temporal forward (roll-packed [rows, 2c] gathers with
+    even-corner indices) must match the 8-corner forward exactly — for
+    zline-hashed AND dense-strided levels, output and all grads."""
+    import soccernerfs_tpu.ops.hash_grid as hg
+
+    monkeypatch.setattr(hg, "SCATTER_INTERPRET", True)
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.uniform(0, 1, (160, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0.05, 0.95, (160,)).astype(np.float32))
+
+    for scheme in ("zline", "xor"):
+        # base_resolution 4 makes level 0 dense (strided pairing) while
+        # per_level_scale pushes later levels into hashed territory
+        cfg = HashGridConfig(
+            temporal_dim=6, num_levels=3, level_dim=2, base_resolution=4,
+            per_level_scale=3.0, log2_hashmap_size=7, hash_scheme=scheme,
+        )
+        params = init_hash_grid(jax.random.PRNGKey(5), cfg, std=0.4)
+        cot = jnp.asarray(rng.standard_normal(
+            (160, cfg.num_levels * cfg.level_dim), dtype=np.float32))
+
+        def loss(p, x, t, ig):
+            return jnp.vdot(
+                hash_grid_encode(cfg, p, x, t, input_grads=ig), cot)
+
+        out_paired = hash_grid_encode(cfg, params, x, t)
+        grads_paired = {
+            ig: jax.grad(loss, argnums=(0, 1, 2))(params, x, t, ig)
+            for ig in (True, False)
+        }
+
+        orig = hg._hash_level_apply_temporal
+
+        def unpaired(*a, **k):
+            k["paired_fwd"] = False
+            return orig(*a, **k)
+
+        monkeypatch.setattr(hg, "_hash_level_apply_temporal", unpaired)
+        out_ref = hash_grid_encode(cfg, params, x, t)
+        np.testing.assert_allclose(
+            np.asarray(out_paired), np.asarray(out_ref), atol=1e-5)
+        for ig in (True, False):
+            g_ref = jax.grad(loss, argnums=(0, 1, 2))(params, x, t, ig)
+            for a, b in zip(grads_paired[ig], g_ref):
+                fa = jax.tree_util.tree_leaves(a)
+                fb = jax.tree_util.tree_leaves(b)
+                for la, lb in zip(fa, fb):
+                    np.testing.assert_allclose(
+                        np.asarray(la), np.asarray(lb), atol=1e-5)
+        monkeypatch.setattr(hg, "_hash_level_apply_temporal", orig)
