@@ -20,6 +20,7 @@ checkpoints, rays/s + ETA events, profiler (ref: trainer.py:195-260).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -72,6 +73,8 @@ def _pin_big_table_layouts(tree):
     counterproductive (ops/hash_grid.py NOTE), as was pinning row-major
     anywhere (PERF.md r4 negative results)."""
     if jax.default_backend() == "cpu":
+        return tree
+    if os.environ.get("SNT_PIN_TABLE_LAYOUTS", "1") == "0":  # ablation
         return tree
     from jax.experimental import layout
 

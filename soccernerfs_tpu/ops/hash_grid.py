@@ -527,7 +527,7 @@ def _window_pick(acc, ch_a, w_a, ch_b, w_b):
 
 def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
                                input_grads: bool = True,
-                               paired_fwd: bool = False):
+                               paired: bool = False):
     """Temporal sliding-window variant of _hash_level_apply.
 
     The window interpolation is LINEAR in the gathered rows and its
@@ -544,15 +544,21 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
         ws: [K, B] f32 corner weights (grad -> positions).
         ch_a/ch_b: [B, L] int32 channel picks; w_a/w_b: [B, L] f32
             temporal weights (grad -> time).
-        paired_fwd: static; True when consecutive corners sit in
+        paired: static; True when consecutive corners sit in
             adjacent table rows (dense stride or zline hash:
             idxs[2k+1] == idxs[2k] + 1 mod rows) AND 2*c_row <= 128
-            bf16 lanes: the forward then gathers a roll-packed
+            bf16 lanes.  The forward then gathers a roll-packed
             [rows, 2*c_row] copy with the even-corner indices only —
             same math, HALF the gather rows (the temporal forward is
             gather-bound: 109 of 121 ms at nerfplayer prop scale,
-            scripts/diag_temporal.py fwd ablation).  The backward is
-            untouched (full 8-corner idxs/ws ride the residuals).
+            scripts/diag_temporal.py fwd ablation).  The backward
+            pairs the same way (mirroring _hash_level_apply_paired):
+            a pair's two table updates ride ONE sort key as a
+            [2*c_row]-lane payload into a virtual [rows, 2*c_row]
+            scatter folded back by one roll-add, and the input-grad
+            corner re-gathers fetch both corners per row — sorts,
+            permute rows, scatter-kernel calls and re-gathers all
+            halve.
     Returns:
         [B, L] f32.
     """
@@ -563,7 +569,7 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
         # yields ws-weighted [B, c_row] bf16-sourced terms, one per
         # GATHER (2 corners/gather when paired); args must be the
         # custom-vjp-traced values, never the enclosing scope's
-        if paired_fwd:
+        if paired:
             p2 = jnp.concatenate([t16, jnp.roll(t16, -1, axis=0)],
                                  axis=-1)
             for k2 in range(idxs.shape[0] // 2):
@@ -622,14 +628,30 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
             )
         if input_grads:
             t16 = lvl_table.astype(jnp.bfloat16)
+
+            def _corner_feats(t16):
+                # per-CORNER [B, c_row] features, half the gathers when
+                # paired (both z-corners ride one roll-packed row)
+                if paired:
+                    p2 = jnp.concatenate(
+                        [t16, jnp.roll(t16, -1, axis=0)], axis=-1)
+                    for k2 in range(K // 2):
+                        f = jnp.take(p2, idxs[2 * k2], axis=0,
+                                     mode="clip")
+                        yield f[:, :c_row]
+                        yield f[:, c_row:]
+                else:
+                    for k in range(K):
+                        yield jnp.take(t16, idxs[k], axis=0,
+                                       mode="clip")
+
             # d_w{a,b}[b, l] = g[b, l] * acc[b, ch_{a,b}[b, l]]; at big B
             # the [B, C_row] f32 acc is not materialized — per-corner
             # picks are summed instead (linear in the corner sum)
             d_ws = []
             if _acc_small:
                 acc = 0.0
-                for k in range(K):
-                    feats_k = jnp.take(t16, idxs[k], axis=0, mode="clip")
+                for k, feats_k in enumerate(_corner_feats(t16)):
                     acc = acc + ws[k][:, None] * feats_k
                     d_ws.append(jnp.sum(feats_k.astype(u.dtype) * u,
                                         axis=-1))
@@ -644,8 +666,7 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
             else:
                 da = [0.0] * g.shape[-1]
                 db = [0.0] * g.shape[-1]
-                for k in range(K):
-                    feats_k = jnp.take(t16, idxs[k], axis=0, mode="clip")
+                for k, feats_k in enumerate(_corner_feats(t16)):
                     d_ws.append(jnp.sum(feats_k.astype(u.dtype) * u,
                                         axis=-1))
                     for l in range(g.shape[-1]):
@@ -671,12 +692,30 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
         # K-1 extra [rows, c_row] f32 d_table accumulations and kernel
         # launches (slice_add was ~38 ms/step at nerfplayer-nerfacto
         # scale, PERF.md r4)
+        #
+        # paired: one update STREAM per corner pair — the dz=1 corner's
+        # update rides the dz=0 key as the high half of a [2*c_row]
+        # payload into a virtual [rows, 2*c_row] table folded back by
+        # one roll-add (idxs[2k+1] == idxs[2k] + 1 mod rows by
+        # construction; jnp.roll wraps the last row the same way), so
+        # sorts, permute rows and scatter-kernel calls all halve
+        Keff = K // 2 if paired else K
+        c_eff = 2 * c_row if paired else c_row
+        c_eff_pad = _temporal_row_pad(c_eff)
         gw_cap = (_MERGED_GW_BYTES_CAP if not input_grads
                   else _RESIDUAL_BYTES_CAP)
-        lanes = -(-c_pad // 128) * 128  # row-major T(8,128) lane pad
-        merged = K * B * lanes * 2 <= gw_cap
+        lanes = -(-c_eff_pad // 128) * 128  # row-major T(8,128) lane pad
+        merged = Keff * B * lanes * 2 <= gw_cap
         compact = (not merged
                    and B * lanes * 2 >= _COMPACT_STREAM_BYTES)
+
+        def _unfold(v):
+            # virtual [rows, c_eff] table -> [rows, c_row]
+            if paired:
+                return v[:, :c_row] + jnp.roll(v[:, c_row:c_eff], 1,
+                                               axis=0)
+            return v[:, :c_row]
+
         if compact:
             # LARGE-B levels (nerfplayer prop fields: B = 1M samples):
             # permuting the dense [B, c_pad] bf16 gw stream reads a
@@ -691,53 +730,82 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
             L = g.shape[-1]
             vals = jnp.concatenate([g * w_a, g * w_b], axis=-1)  # [B,2L]
             chs = jnp.concatenate([ch_a, ch_b], axis=-1)         # [B,2L]
-            d_table = jnp.zeros((rows, c_row), jnp.float32)
-            for k in range(K):
+            n_ws = 2 if paired else 1
+            d_virt = jnp.zeros((rows, c_eff), jnp.float32)
+            for k in range(Keff):
+                kk = 2 * k if paired else k
+                w_ops = (ws[kk], ws[kk + 1]) if paired else (ws[kk],)
                 srt = jax.lax.sort(
-                    (idxs[k], ws[k],
+                    (idxs[kk], *w_ops,
                      *(vals[:, j] for j in range(2 * L)),
                      *(chs[:, j] for j in range(2 * L))),
                     num_keys=1,
                 )
-                idx_s, ws_s = srt[0], srt[1]
-                gw_s = 0.0
+                idx_s = srt[0]
+                gw_base = 0.0
                 for j in range(2 * L):
-                    gw_s = gw_s + srt[2 + j][:, None] * (
-                        srt[2 + 2 * L + j][:, None] == ch_i)
-                gw_s = (ws_s[:, None] * gw_s).astype(jnp.bfloat16)
-                if c_pad > c_row:
-                    gw_s = jnp.pad(gw_s, ((0, 0), (0, c_pad - c_row)))
-                d_table = d_table + pk.sorted_scatter_add(
-                    gw_s, idx_s, r=rows, c=c_pad,
+                    gw_base = gw_base + srt[1 + n_ws + j][:, None] * (
+                        srt[1 + n_ws + 2 * L + j][:, None] == ch_i)
+                if paired:
+                    gw_s = jnp.concatenate(
+                        [srt[1][:, None] * gw_base,
+                         srt[2][:, None] * gw_base], axis=-1)
+                else:
+                    gw_s = srt[1][:, None] * gw_base
+                gw_s = gw_s.astype(jnp.bfloat16)
+                if c_eff_pad > c_eff:
+                    gw_s = jnp.pad(gw_s,
+                                   ((0, 0), (0, c_eff_pad - c_eff)))
+                d_virt = d_virt + pk.sorted_scatter_add(
+                    gw_s, idx_s, r=rows, c=c_eff_pad,
                     interpret=SCATTER_INTERPRET,
-                )[:, :c_row]
+                )[:, :c_eff]
+            d_table = _unfold(d_virt)
         elif merged:
-            # one sort + one kernel pass over all corners
-            gw = (ws[:, :, None] * u[None]).astype(jnp.bfloat16)
-            gw = gw.reshape(K * B, c_row)
-            if c_pad > c_row:
-                gw = jnp.pad(gw, ((0, 0), (0, c_pad - c_row)))
-            iota = jnp.arange(K * B, dtype=jnp.int32)
-            idx_s, perm = jax.lax.sort((idxs.reshape(K * B), iota),
+            # one sort + one kernel pass over all update streams
+            if paired:
+                gw = jnp.concatenate([ws[0::2][:, :, None] * u[None],
+                                      ws[1::2][:, :, None] * u[None]],
+                                     axis=-1)
+                eff_idx = idxs[0::2]
+            else:
+                gw = ws[:, :, None] * u[None]
+                eff_idx = idxs
+            gw = gw.astype(jnp.bfloat16).reshape(Keff * B, c_eff)
+            if c_eff_pad > c_eff:
+                gw = jnp.pad(gw, ((0, 0), (0, c_eff_pad - c_eff)))
+            iota = jnp.arange(Keff * B, dtype=jnp.int32)
+            idx_s, perm = jax.lax.sort((eff_idx.reshape(Keff * B), iota),
                                        num_keys=1)
             gw_s = jnp.take(gw, perm, axis=0, mode="clip")
-            d_table = pk.sorted_scatter_add(
-                gw_s, idx_s, r=rows, c=c_pad, interpret=SCATTER_INTERPRET,
-            )[:, :c_row]
+            d_table = _unfold(pk.sorted_scatter_add(
+                gw_s, idx_s, r=rows, c=c_eff_pad,
+                interpret=SCATTER_INTERPRET,
+            )[:, :c_eff])
         else:
-            # bound peak memory: scatter per corner
-            d_table = jnp.zeros((rows, c_row), jnp.float32)
+            # bound peak memory: scatter per update stream
+            d_virt = jnp.zeros((rows, c_eff), jnp.float32)
             iota = jnp.arange(B, dtype=jnp.int32)
-            for k in range(K):
-                gw_k = (ws[k][:, None] * u).astype(jnp.bfloat16)
-                if c_pad > c_row:
-                    gw_k = jnp.pad(gw_k, ((0, 0), (0, c_pad - c_row)))
-                idx_s, perm = jax.lax.sort((idxs[k], iota), num_keys=1)
+            for k in range(Keff):
+                if paired:
+                    gw_k = jnp.concatenate([ws[2 * k][:, None] * u,
+                                            ws[2 * k + 1][:, None] * u],
+                                           axis=-1)
+                    eidx = idxs[2 * k]
+                else:
+                    gw_k = ws[k][:, None] * u
+                    eidx = idxs[k]
+                gw_k = gw_k.astype(jnp.bfloat16)
+                if c_eff_pad > c_eff:
+                    gw_k = jnp.pad(gw_k,
+                                   ((0, 0), (0, c_eff_pad - c_eff)))
+                idx_s, perm = jax.lax.sort((eidx, iota), num_keys=1)
                 gw_s = jnp.take(gw_k, perm, axis=0, mode="clip")
-                d_table = d_table + pk.sorted_scatter_add(
-                    gw_s, idx_s, r=rows, c=c_pad,
+                d_virt = d_virt + pk.sorted_scatter_add(
+                    gw_s, idx_s, r=rows, c=c_eff_pad,
                     interpret=SCATTER_INTERPRET,
-                )[:, :c_row]
+                )[:, :c_eff]
+            d_table = _unfold(d_virt)
         zi = np.zeros(idxs.shape, dtype=jax.dtypes.float0)
         zc = np.zeros(ch_a.shape, dtype=jax.dtypes.float0)
         return (d_table.astype(lvl_table.dtype), zi, d_ws_out,
@@ -892,14 +960,14 @@ def hash_grid_encode(
                 # additive zline hash — and the packed pair row must
                 # stay within one bf16 lane-tile (prop fields: c_row=34,
                 # pair=68 lanes; main fields' 66 -> 132 lanes miss)
-                paired_fwd = (
+                paired = (
                     (strided or cfg.hash_scheme == "zline")
                     and 2 * C <= 128
                     and n_corners % 2 == 0
                 )
                 outputs.append(_hash_level_apply_temporal(
                     lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
-                    input_grads=input_grads, paired_fwd=paired_fwd,
+                    input_grads=input_grads, paired=paired,
                 ))
             else:
                 outputs.append(_hash_level_apply(

@@ -420,7 +420,12 @@ def test_temporal_compact_stream_backward_parity(monkeypatch):
         grads_dense[ig] = jax.grad(loss, argnums=(0, 1, 2))(
             params, x, t, ig)
 
-    monkeypatch.setattr(hg, "_COMPACT_STREAM_BYTES", 1)  # force compact
+    # force the compact branch: the merged gate must ALSO go off (at
+    # test scale K*B*lanes*2 is far below both caps, so without these
+    # the "compact" run would silently retake the merged path)
+    monkeypatch.setattr(hg, "_RESIDUAL_BYTES_CAP", 1)
+    monkeypatch.setattr(hg, "_MERGED_GW_BYTES_CAP", 1)
+    monkeypatch.setattr(hg, "_COMPACT_STREAM_BYTES", 1)
     for ig in (True, False):
         g_c, gx_c, gt_c = jax.grad(loss, argnums=(0, 1, 2))(params, x, t, ig)
         g_d, gx_d, gt_d = grads_dense[ig]
@@ -431,10 +436,12 @@ def test_temporal_compact_stream_backward_parity(monkeypatch):
                 np.asarray(a) / s, np.asarray(b) / s, atol=2e-2)
 
 
-def test_temporal_paired_forward_parity(monkeypatch):
-    """The paired temporal forward (roll-packed [rows, 2c] gathers with
-    even-corner indices) must match the 8-corner forward exactly — for
-    zline-hashed AND dense-strided levels, output and all grads."""
+def test_temporal_paired_parity(monkeypatch):
+    """The paired temporal path (roll-packed [rows, 2c] forward gathers
+    with even-corner indices; backward pair updates riding one sort key
+    into a roll-folded virtual scatter) must match the 8-corner path
+    exactly — for zline-hashed AND dense-strided levels, output and all
+    grads, with and without input grads."""
     import soccernerfs_tpu.ops.hash_grid as hg
 
     monkeypatch.setattr(hg, "SCATTER_INTERPRET", True)
@@ -457,28 +464,46 @@ def test_temporal_paired_forward_parity(monkeypatch):
             return jnp.vdot(
                 hash_grid_encode(cfg, p, x, t, input_grads=ig), cot)
 
-        out_paired = hash_grid_encode(cfg, params, x, t)
-        grads_paired = {
-            ig: jax.grad(loss, argnums=(0, 1, 2))(params, x, t, ig)
-            for ig in (True, False)
-        }
-
         orig = hg._hash_level_apply_temporal
 
         def unpaired(*a, **k):
-            k["paired_fwd"] = False
+            k["paired"] = False
             return orig(*a, **k)
 
-        monkeypatch.setattr(hg, "_hash_level_apply_temporal", unpaired)
-        out_ref = hash_grid_encode(cfg, params, x, t)
-        np.testing.assert_allclose(
-            np.asarray(out_paired), np.asarray(out_ref), atol=1e-5)
-        for ig in (True, False):
-            g_ref = jax.grad(loss, argnums=(0, 1, 2))(params, x, t, ig)
-            for a, b in zip(grads_paired[ig], g_ref):
-                fa = jax.tree_util.tree_leaves(a)
-                fb = jax.tree_util.tree_leaves(b)
-                for la, lb in zip(fa, fb):
-                    np.testing.assert_allclose(
-                        np.asarray(la), np.asarray(lb), atol=1e-5)
-        monkeypatch.setattr(hg, "_hash_level_apply_temporal", orig)
+        # force each backward path: merged (default caps), per-corner
+        # (caps off, compact threshold unreachable), compact sort-
+        # operand stream (everything off -> large-B branch)
+        paths = [
+            ("merged", 64 * 2**20, 128 * 2**20, 128 * 2**20),
+            ("per-corner", 1, 1, 1 << 60),
+            ("compact", 1, 1, 1),
+        ]
+        for name, res_cap, gw_cap, compact_at in paths:
+            monkeypatch.setattr(hg, "_RESIDUAL_BYTES_CAP", res_cap)
+            monkeypatch.setattr(hg, "_MERGED_GW_BYTES_CAP", gw_cap)
+            monkeypatch.setattr(hg, "_COMPACT_STREAM_BYTES", compact_at)
+
+            monkeypatch.setattr(hg, "_hash_level_apply_temporal", orig)
+            out_paired = hash_grid_encode(cfg, params, x, t)
+            grads_paired = {
+                ig: jax.grad(loss, argnums=(0, 1, 2))(params, x, t, ig)
+                for ig in (True, False)
+            }
+
+            monkeypatch.setattr(
+                hg, "_hash_level_apply_temporal", unpaired)
+            out_ref = hash_grid_encode(cfg, params, x, t)
+            np.testing.assert_allclose(
+                np.asarray(out_paired), np.asarray(out_ref), atol=1e-5,
+                err_msg=f"{scheme}/{name}")
+            for ig in (True, False):
+                g_ref = jax.grad(loss, argnums=(0, 1, 2))(
+                    params, x, t, ig)
+                for a, b in zip(grads_paired[ig], g_ref):
+                    fa = jax.tree_util.tree_leaves(a)
+                    fb = jax.tree_util.tree_leaves(b)
+                    for la, lb in zip(fa, fb):
+                        np.testing.assert_allclose(
+                            np.asarray(la), np.asarray(lb), atol=1e-5,
+                            err_msg=f"{scheme}/{name}/ig={ig}")
+            monkeypatch.setattr(hg, "_hash_level_apply_temporal", orig)
