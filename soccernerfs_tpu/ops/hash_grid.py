@@ -508,6 +508,32 @@ def _hash_level_apply_paired(lvl_table, idxs, wxy, fz,
     return op(lvl_table, idxs, wxy, fz)
 
 
+def _scatter_sorted_wide(gw_s, idx_s, rows, interpret):
+    """sorted_scatter_add for payloads of ANY width: columns split into
+    kernel-legal segments (128-lane chunks, then a padded tail), one
+    kernel call per segment over the SAME sorted index stream.  For
+    widths <= 128 this is exactly one padded call; for paired 2*c_row
+    payloads above 128 lanes (66-channel temporal rows -> 132) it costs
+    one full-width call plus a cheap row-packed tail call — still half
+    the full-width scatter calls of the unpaired stream."""
+    from soccernerfs_tpu.ops.pallas import plane_kernels as pk
+
+    c_total = gw_s.shape[-1]
+    out = []
+    c0 = 0
+    while c0 < c_total:
+        w = min(128, c_total - c0)
+        w_pad = _temporal_row_pad(w)
+        seg = gw_s[:, c0:c0 + w]
+        if w_pad > w:
+            seg = jnp.pad(seg, ((0, 0), (0, w_pad - w)))
+        out.append(pk.sorted_scatter_add(
+            seg, idx_s, r=rows, c=w_pad, interpret=interpret,
+        )[:, :w])
+        c0 += w
+    return jnp.concatenate(out, axis=-1) if len(out) > 1 else out[0]
+
+
 def _window_pick(acc, ch_a, w_a, ch_b, w_b):
     """w_a * acc[:, ch_a] + w_b * acc[:, ch_b] per output channel, as one
     fused compare-select REDUCTION per channel over the [B, C_row] rows.
@@ -563,13 +589,19 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
         [B, L] f32.
     """
     rows, c_row = lvl_table.shape
-    c_pad = _temporal_row_pad(c_row)
+    # pairing halves the BACKWARD's sorts/permute-rows/scatter calls at
+    # any row width (the >128-lane payload splits into kernel-legal
+    # segments, _scatter_sorted_wide); the FORWARD pairs only while the
+    # packed pair row fits one bf16 lane-tile — at 2*c_row > 128 a
+    # paired gather fetches 2 tiles/row and the row-fetch count is a
+    # wash (PERF.md r3 arithmetic)
+    paired_fwd = paired and 2 * c_row <= 128
 
     def _corner_terms(t16, idxs, ws):
         # yields ws-weighted [B, c_row] bf16-sourced terms, one per
         # GATHER (2 corners/gather when paired); args must be the
         # custom-vjp-traced values, never the enclosing scope's
-        if paired:
+        if paired_fwd:
             p2 = jnp.concatenate([t16, jnp.roll(t16, -1, axis=0)],
                                  axis=-1)
             for k2 in range(idxs.shape[0] // 2):
@@ -632,7 +664,7 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
             def _corner_feats(t16):
                 # per-CORNER [B, c_row] features, half the gathers when
                 # paired (both z-corners ride one roll-packed row)
-                if paired:
+                if paired_fwd:
                     p2 = jnp.concatenate(
                         [t16, jnp.roll(t16, -1, axis=0)], axis=-1)
                     for k2 in range(K // 2):
@@ -701,10 +733,9 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
         # sorts, permute rows and scatter-kernel calls all halve
         Keff = K // 2 if paired else K
         c_eff = 2 * c_row if paired else c_row
-        c_eff_pad = _temporal_row_pad(c_eff)
         gw_cap = (_MERGED_GW_BYTES_CAP if not input_grads
                   else _RESIDUAL_BYTES_CAP)
-        lanes = -(-c_eff_pad // 128) * 128  # row-major T(8,128) lane pad
+        lanes = -(-c_eff // 128) * 128  # row-major T(8,128) lane pad
         merged = Keff * B * lanes * 2 <= gw_cap
         compact = (not merged
                    and B * lanes * 2 >= _COMPACT_STREAM_BYTES)
@@ -752,14 +783,9 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
                          srt[2][:, None] * gw_base], axis=-1)
                 else:
                     gw_s = srt[1][:, None] * gw_base
-                gw_s = gw_s.astype(jnp.bfloat16)
-                if c_eff_pad > c_eff:
-                    gw_s = jnp.pad(gw_s,
-                                   ((0, 0), (0, c_eff_pad - c_eff)))
-                d_virt = d_virt + pk.sorted_scatter_add(
-                    gw_s, idx_s, r=rows, c=c_eff_pad,
-                    interpret=SCATTER_INTERPRET,
-                )[:, :c_eff]
+                d_virt = d_virt + _scatter_sorted_wide(
+                    gw_s.astype(jnp.bfloat16), idx_s, rows,
+                    SCATTER_INTERPRET)
             d_table = _unfold(d_virt)
         elif merged:
             # one sort + one kernel pass over all update streams
@@ -772,16 +798,12 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
                 gw = ws[:, :, None] * u[None]
                 eff_idx = idxs
             gw = gw.astype(jnp.bfloat16).reshape(Keff * B, c_eff)
-            if c_eff_pad > c_eff:
-                gw = jnp.pad(gw, ((0, 0), (0, c_eff_pad - c_eff)))
             iota = jnp.arange(Keff * B, dtype=jnp.int32)
             idx_s, perm = jax.lax.sort((eff_idx.reshape(Keff * B), iota),
                                        num_keys=1)
             gw_s = jnp.take(gw, perm, axis=0, mode="clip")
-            d_table = _unfold(pk.sorted_scatter_add(
-                gw_s, idx_s, r=rows, c=c_eff_pad,
-                interpret=SCATTER_INTERPRET,
-            )[:, :c_eff])
+            d_table = _unfold(_scatter_sorted_wide(
+                gw_s, idx_s, rows, SCATTER_INTERPRET))
         else:
             # bound peak memory: scatter per update stream
             d_virt = jnp.zeros((rows, c_eff), jnp.float32)
@@ -795,16 +817,11 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
                 else:
                     gw_k = ws[k][:, None] * u
                     eidx = idxs[k]
-                gw_k = gw_k.astype(jnp.bfloat16)
-                if c_eff_pad > c_eff:
-                    gw_k = jnp.pad(gw_k,
-                                   ((0, 0), (0, c_eff_pad - c_eff)))
                 idx_s, perm = jax.lax.sort((eidx, iota), num_keys=1)
-                gw_s = jnp.take(gw_k, perm, axis=0, mode="clip")
-                d_virt = d_virt + pk.sorted_scatter_add(
-                    gw_s, idx_s, r=rows, c=c_eff_pad,
-                    interpret=SCATTER_INTERPRET,
-                )[:, :c_eff]
+                gw_s = jnp.take(gw_k.astype(jnp.bfloat16), perm, axis=0,
+                                mode="clip")
+                d_virt = d_virt + _scatter_sorted_wide(
+                    gw_s, idx_s, rows, SCATTER_INTERPRET)
             d_table = _unfold(d_virt)
         zi = np.zeros(idxs.shape, dtype=jax.dtypes.float0)
         zc = np.zeros(ch_a.shape, dtype=jax.dtypes.float0)
@@ -957,12 +974,14 @@ def hash_grid_encode(
             if cfg.temporal_dim > 0:
                 # consecutive corners (dz=0/dz=1) sit in adjacent rows
                 # when the index is linear in z — dense stride, or the
-                # additive zline hash — and the packed pair row must
-                # stay within one bf16 lane-tile (prop fields: c_row=34,
-                # pair=68 lanes; main fields' 66 -> 132 lanes miss)
+                # additive zline hash.  The backward pairs at ANY row
+                # width (>128-lane pair payloads split into kernel-
+                # legal scatter segments); the forward additionally
+                # requires the packed pair row to fit one bf16
+                # lane-tile (prop fields: c_row=34, pair=68 lanes; the
+                # 66-channel mains pair backward-only)
                 paired = (
                     (strided or cfg.hash_scheme == "zline")
-                    and 2 * C <= 128
                     and n_corners % 2 == 0
                 )
                 outputs.append(_hash_level_apply_temporal(

@@ -449,12 +449,16 @@ def test_temporal_paired_parity(monkeypatch):
     x = jnp.asarray(rng.uniform(0, 1, (160, 3)).astype(np.float32))
     t = jnp.asarray(rng.uniform(0.05, 0.95, (160,)).astype(np.float32))
 
-    for scheme in ("zline", "xor"):
+    # temporal_dim 62 -> c_row 64: 2*c_row = 128 = one lane-tile pair
+    # payload; temporal_dim 64 -> c_row 66: 2*c_row = 132 exercises the
+    # SPLIT scatter segments (128 + 4) of the backward-only pairing
+    for scheme, tdim in (("zline", 6), ("xor", 6), ("zline", 64)):
         # base_resolution 4 makes level 0 dense (strided pairing) while
         # per_level_scale pushes later levels into hashed territory
         cfg = HashGridConfig(
-            temporal_dim=6, num_levels=3, level_dim=2, base_resolution=4,
-            per_level_scale=3.0, log2_hashmap_size=7, hash_scheme=scheme,
+            temporal_dim=tdim, num_levels=3, level_dim=2,
+            base_resolution=4, per_level_scale=3.0, log2_hashmap_size=7,
+            hash_scheme=scheme,
         )
         params = init_hash_grid(jax.random.PRNGKey(5), cfg, std=0.4)
         cot = jnp.asarray(rng.standard_normal(
