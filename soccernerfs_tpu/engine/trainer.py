@@ -76,12 +76,30 @@ def _pin_big_table_layouts(tree):
         return tree
     if os.environ.get("SNT_PIN_TABLE_LAYOUTS", "1") == "0":  # ablation
         return tree
-    from jax.experimental import layout
+    # jax.experimental.layout is an UNSTABLE API (upstream already renamed
+    # Layout -> Format once); an API break must degrade to unpinned
+    # layouts (slower, correct), not crash the train step on first TPU use
+    # — same loud-fallback contract as data/native_loader.py.
+    try:
+        from jax.experimental import layout
+
+        constrain = layout.with_layout_constraint
+        major_to_minor = layout.Layout((1, 0))
+    except Exception as e:  # pragma: no cover - exercised on API churn
+        import warnings
+
+        warnings.warn(
+            "jax.experimental.layout unavailable "
+            f"({type(e).__name__}: {e}); big-table layouts left unpinned "
+            "— expect extra relayout copies on the nerfplayer family",
+            stacklevel=2,
+        )
+        return tree
 
     def pin(x):
         if (hasattr(x, "ndim") and x.ndim == 2
                 and x.size * x.dtype.itemsize >= _PIN_TABLE_BYTES):
-            return layout.with_layout_constraint(x, layout.Layout((1, 0)))
+            return constrain(x, major_to_minor)
         return x
 
     return jax.tree_util.tree_map(pin, tree)

@@ -248,7 +248,12 @@ def cmd_poisson(args):
         keep = keep[sl]
         pts.append(pmap[sl][keep])
         nrms.append(normals[sl][keep])
-    pts = np.concatenate(pts)
+    pts = np.concatenate(pts) if pts else np.zeros((0, 3), np.float32)
+    if pts.shape[0] == 0:
+        raise SystemExit(
+            "no surface points above accumulation 0.5 — train longer or "
+            "render more cameras before exporting a poisson mesh"
+        )
     nrms = np.concatenate(nrms)
     if args.num_points and pts.shape[0] > args.num_points:
         sel = np.random.default_rng(0).choice(

@@ -421,7 +421,13 @@ class ViewerState:
             return {"error": f"no keyframe {index}"}
         kf = self.keyframes[index]
         if c2w is not None:
-            kf["c2w"] = c2w
+            try:
+                arr = np.asarray(c2w, dtype=np.float64)
+            except (TypeError, ValueError):
+                return {"error": "c2w must be a numeric nested list"}
+            if arr.shape not in ((3, 4), (4, 4)) or not np.isfinite(arr).all():
+                return {"error": f"c2w must be 3x4 or 4x4 finite, got {arr.shape}"}
+            kf["c2w"] = arr[:3].tolist()
         if fov is not None:
             kf["fov"] = float(fov)
         if time is not None:
