@@ -253,6 +253,44 @@ class Trainer:
             mesh is not None and self.config.machine.force_shard_map
         )
 
+        def shard_loss_and_grads(params, batch, step, sched_kwargs,
+                                 shard_idx=None):
+            """Loss + grads over ONE ray shard with that shard's folded rng
+            — the exact per-device body the sharded train step runs.
+            ``shard_idx`` is the device's data-axis index under shard_map
+            (the reference's per-rank DDP randomness); tests pass concrete
+            indices to emulate an n-device run on one logical device
+            (tests/test_multichip.py equivalence test)."""
+            rng0 = jax.random.fold_in(base_rng, step)
+            if shard_idx is not None:
+                rng0 = jax.random.fold_in(rng0, shard_idx)
+            # split every key needed this step up front so no key is
+            # both consumed and re-split (independence)
+            rng, rng_loss = jax.random.split(rng0)
+
+            def loss_fn(params):
+                cam_opt = apply_camera_optimizer(
+                    cam_opt_cfg, params.get("camera_opt"), batch["cam_idx"]
+                )
+                rays = generate_rays(
+                    train_cameras, batch["cam_idx"], batch["coords"], cam_opt
+                )
+                outputs = model.get_outputs(
+                    model_cfg, params, aabb, rays, rng=rng, train=True,
+                    **sched_kwargs
+                )
+                metrics = model.get_metrics_dict(model_cfg, outputs, batch, step)
+                loss_dict = model.get_loss_dict(
+                    model_cfg, params, outputs, batch, metrics, train=True,
+                    rng=rng_loss,
+                )
+                loss = functools.reduce(jnp.add, loss_dict.values())
+                return loss, (loss_dict, metrics)
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        self._shard_loss_and_grads = shard_loss_and_grads
+
         def train_step(
             state: TrainState,
             batch: Dict[str, jnp.ndarray],
@@ -275,37 +313,13 @@ class Trainer:
                 all-reduce is an explicit pmean over the data axis — the
                 NCCL replacement that also keeps Pallas custom calls legal
                 under SPMD (they cannot be auto-partitioned)."""
-                rng0 = jax.random.fold_in(base_rng, step)
-                if use_shard_map:
-                    rng0 = jax.random.fold_in(
-                        rng0, jax.lax.axis_index(meshlib.DATA_AXIS)
-                    )
-                # split every key needed this step up front so no key is
-                # both consumed and re-split (independence)
-                rng, rng_loss = jax.random.split(rng0)
-
-                def loss_fn(params):
-                    cam_opt = apply_camera_optimizer(
-                        cam_opt_cfg, params.get("camera_opt"), batch["cam_idx"]
-                    )
-                    rays = generate_rays(
-                        train_cameras, batch["cam_idx"], batch["coords"], cam_opt
-                    )
-                    outputs = model.get_outputs(
-                        model_cfg, params, aabb, rays, rng=rng, train=True,
-                        **sched_kwargs
-                    )
-                    metrics = model.get_metrics_dict(model_cfg, outputs, batch, step)
-                    loss_dict = model.get_loss_dict(
-                        model_cfg, params, outputs, batch, metrics, train=True,
-                        rng=rng_loss,
-                    )
-                    loss = functools.reduce(jnp.add, loss_dict.values())
-                    return loss, (loss_dict, metrics)
-
-                (loss, (loss_dict, metrics)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(params)
+                shard_idx = (
+                    jax.lax.axis_index(meshlib.DATA_AXIS)
+                    if use_shard_map else None
+                )
+                (loss, (loss_dict, metrics)), grads = shard_loss_and_grads(
+                    params, batch, step, sched_kwargs, shard_idx
+                )
                 if use_shard_map:
                     loss, loss_dict, metrics, grads = jax.lax.pmean(
                         (loss, loss_dict, metrics, grads), meshlib.DATA_AXIS
