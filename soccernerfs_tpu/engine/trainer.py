@@ -113,7 +113,11 @@ class Trainer:
         self.test_mode = test_mode
         self.base_dir = config.get_base_dir()
 
-        meshlib.initialize_distributed(config.machine.coordinator)
+        meshlib.initialize_distributed(
+            config.machine.coordinator,
+            config.machine.num_machines,
+            config.machine.machine_rank,
+        )
         devices = jax.devices()
         if config.machine.num_devices > 0:
             devices = devices[: config.machine.num_devices]

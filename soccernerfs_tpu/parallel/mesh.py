@@ -21,11 +21,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def initialize_distributed(coordinator: Optional[str] = None):
-    """Multi-host bring-up (ref: train.py:124-137's dist.init_process_group).
-    On a single host this is a no-op."""
+def initialize_distributed(
+    coordinator: Optional[str] = None,
+    num_machines: int = 1,
+    machine_rank: int = 0,
+):
+    """Multi-host bring-up (ref: train.py:124-137's dist.init_process_group,
+    configs/base_config.py:68-75 machine_rank/num_machines/dist_url).
+    Without a coordinator this is a no-op; with one, every process calls
+    this with its rank and blocks until all ``num_machines`` rendezvous."""
     if coordinator:
-        jax.distributed.initialize(coordinator_address=coordinator)
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_machines,
+            process_id=machine_rank,
+        )
 
 
 def make_data_mesh(devices: Optional[Sequence] = None) -> Mesh:
