@@ -115,8 +115,9 @@ img.onpointerdown=e=>{drag=true;lx=e.clientX;ly=e.clientY;};
 window.onpointerup=()=>{drag=false;poke();};
 window.onpointermove=e=>{if(!drag)return; az-=(e.clientX-lx)*0.01;
   el+=(e.clientY-ly)*0.01;
-  el=Math.max(-1.4,Math.min(1.4,el)); lx=e.clientX; ly=e.clientY; poke();};
-window.onwheel=e=>{radius*=Math.exp(e.deltaY*0.001); poke();};
+  el=Math.max(-1.4,Math.min(1.4,el)); lx=e.clientX; ly=e.clientY; poke();
+  drawOverlay();};  // re-project the 3D scene live, no server round-trip
+window.onwheel=e=>{radius*=Math.exp(e.deltaY*0.001); poke(); drawOverlay();};
 function poke(){ dirty=true; moving=4; }
 function c2w(){
   const cx=Math.cos(az)*Math.cos(el)*radius, cy=Math.sin(az)*Math.cos(el)*radius,
@@ -153,7 +154,7 @@ async function loop(){
   requestAnimationFrame(loop);
 }
 const kfst=document.getElementById('kfst'), kflist=document.getElementById('kflist');
-let kfCache=[];
+let kfCache=[], pathCache=[];
 async function refreshKfs(){
   const j=await (await fetch('/keyframes')).json();
   kfCache=j.keyframes;
@@ -169,6 +170,13 @@ async function refreshKfs(){
       refreshKfs(); };
     d.appendChild(del); kflist.appendChild(d);
   });
+  // interpolated 3D path, fetched once per keyframe EDIT and re-projected
+  // client-side on every orbit (no per-frame server round-trip)
+  if(kfCache.length>1){
+    const p=await (await fetch('/path_cameras',{method:'POST',
+      body:JSON.stringify({steps_per_transition:16})})).json();
+    pathCache=(p.frames||[]).map(f=>[f.c2w[0][3],f.c2w[1][3],f.c2w[2][3]]);
+  } else pathCache=[];
   drawOverlay();
 }
 document.getElementById('kf').onclick=async()=>{
@@ -268,69 +276,182 @@ document.getElementById('treetoggle').onclick=()=>{
   const p=document.getElementById('treepanel');
   p.style.display=p.style.display==='none'?'block':'none';};
 
-// ---- keyframe gizmos: projected handles, draggable in edit mode ----
-let editKfs=false, kfHandles=[], dragKf=-1;
+// ---- client-side 3D scene + world-space transform gizmo ----
+// Everything below projects WORLD geometry through the live orbit camera
+// (viewProject) on every redraw: orbiting re-projects grid, frustums,
+// path curve and gizmo handles with NO server round-trip (the server is
+// only consulted to re-render the underlying image and to persist
+// keyframe edits).  The gizmo is the reference app's TransformControls
+// surface: world-axis translation arrows + a world-Z rotation ring.
+let editKfs=false, kfHandles=[], dragKf=-1, selKf=-1, dragMode=null;
+let gizmoHits=[], gizmoRing=null;
+const AXES=[[1,0,0],[0,1,0],[0,0,1]], AXCOL=['#f44','#4f4','#48f'];
+const GIZMO_LEN=0.35, RING_R=0.28;
 document.getElementById('kfedit').onclick=()=>{
   editKfs=!editKfs;
   document.getElementById('kfedit').textContent=
     editKfs?'done editing':'edit keyframes';
   ovl.style.pointerEvents=editKfs?'auto':'none';
+  if(!editKfs){ selKf=-1; dragMode=null; }
   drawOverlay();};
+function line3(a,b,style,w){
+  const pa=viewProject(a), pb=viewProject(b);
+  if(!pa||!pb) return null;
+  ctx.strokeStyle=style; ctx.lineWidth=w||1; ctx.beginPath();
+  ctx.moveTo(pa[0],pa[1]); ctx.lineTo(pb[0],pb[1]); ctx.stroke();
+  return [pa,pb];
+}
+function poly3(pts,style,w){
+  ctx.strokeStyle=style; ctx.lineWidth=w||1; ctx.beginPath();
+  let started=false;
+  for(const q of pts){ const p=viewProject(q);
+    if(!p){ started=false; continue; }
+    if(!started){ ctx.moveTo(p[0],p[1]); started=true; }
+    else ctx.lineTo(p[0],p[1]); }
+  ctx.stroke();
+}
+function drawFrustum(m, fovDeg, aspect, s, color, label){
+  // camera wireframe in WORLD space: apex + image plane at distance s
+  const a=aspect||1.78;
+  const o=[m[0][3],m[1][3],m[2][3]];
+  const hw=s*Math.tan(fovDeg*Math.PI/360)*a, hh=s*Math.tan(fovDeg*Math.PI/360);
+  const corners=[[-hw,-hh],[hw,-hh],[hw,hh],[-hw,hh]].map(([u,v])=>[
+    o[0]+m[0][0]*u+m[0][1]*v-m[0][2]*s,
+    o[1]+m[1][0]*u+m[1][1]*v-m[1][2]*s,
+    o[2]+m[2][0]*u+m[2][1]*v-m[2][2]*s]);
+  const po=viewProject(o), pc=corners.map(viewProject);
+  if(!po||pc.some(p=>!p)) return null;
+  ctx.strokeStyle=color; ctx.beginPath();
+  for(let i=0;i<4;i++){ ctx.moveTo(po[0],po[1]); ctx.lineTo(pc[i][0],pc[i][1]);
+    ctx.lineTo(pc[(i+1)%4][0],pc[(i+1)%4][1]); }
+  // "up" tick on the top edge so orientation/roll reads at a glance
+  const tm=[(pc[2][0]+pc[3][0])/2,(pc[2][1]+pc[3][1])/2];
+  ctx.moveTo(tm[0],tm[1]);
+  ctx.lineTo(tm[0]+(tm[0]-po[0])*0.12, tm[1]+(tm[1]-po[1])*0.12);
+  ctx.stroke();
+  if(label){ ctx.fillStyle=color; ctx.fillText(label, po[0]+7, po[1]+3); }
+  return po;
+}
+function drawGizmo(kf){
+  const o=[kf.c2w[0][3],kf.c2w[1][3],kf.c2w[2][3]];
+  gizmoHits=[]; gizmoRing=null;
+  AXES.forEach((ax,i)=>{
+    const seg=line3(o,[o[0]+ax[0]*GIZMO_LEN,o[1]+ax[1]*GIZMO_LEN,
+                       o[2]+ax[2]*GIZMO_LEN], AXCOL[i],
+                    (dragMode&&dragMode.kind==='axis'&&dragMode.axis===i)?4:2.5);
+    if(!seg) return;
+    ctx.fillStyle=AXCOL[i];
+    ctx.fillRect(seg[1][0]-4,seg[1][1]-4,8,8);
+    gizmoHits.push({axis:i, x0:seg[0][0], y0:seg[0][1],
+                    x1:seg[1][0], y1:seg[1][1]});
+  });
+  // world-Z rotation ring around the keyframe origin
+  const ring=[];
+  for(let k=0;k<=40;k++){ const th=k/40*2*Math.PI;
+    ring.push([o[0]+Math.cos(th)*RING_R, o[1]+Math.sin(th)*RING_R, o[2]]); }
+  poly3(ring,(dragMode&&dragMode.kind==='ring')?'#ff0':'#fc6',
+        (dragMode&&dragMode.kind==='ring')?3:1.5);
+  const po=viewProject(o), pr=viewProject(ring[0]);
+  if(po&&pr) gizmoRing={cx:po[0], cy:po[1],
+                        r:Math.hypot(pr[0]-po[0],pr[1]-po[1])};
+}
 function drawOverlay(){
   ovl.width=window.innerWidth; ovl.height=window.innerHeight;
   ctx.clearRect(0,0,ovl.width,ovl.height);
+  if(editKfs){
+    // world ground grid (z=0) + axes: the 3D frame the gizmo moves in
+    for(let i=-2;i<=2;i++){
+      line3([i,-2,0],[i,2,0],'#333',1); line3([-2,i,0],[2,i,0],'#333',1); }
+    line3([0,0,0],[0.5,0,0],'#f44',2); line3([0,0,0],[0,0.5,0],'#4f4',2);
+    line3([0,0,0],[0,0,0.5],'#48f',2);
+  }
   if(showCams&&sceneCams&&tree.frustums){
-    ctx.strokeStyle='#6cf'; ctx.lineWidth=1; ctx.font='9px monospace';
+    ctx.lineWidth=1; ctx.font='9px monospace';
     for(const c of sceneCams){
-      const m=c.c2w, s=0.25, a=c.aspect||1.78;
-      const o=[m[0][3],m[1][3],m[2][3]];
-      const hw=s*Math.tan(c.fov*Math.PI/360)*a, hh=s*Math.tan(c.fov*Math.PI/360);
-      const corners=[[-hw,-hh],[hw,-hh],[hw,hh],[-hw,hh]].map(([u,v])=>[
-        o[0]+m[0][0]*u+m[0][1]*v-m[0][2]*s,
-        o[1]+m[1][0]*u+m[1][1]*v-m[1][2]*s,
-        o[2]+m[2][0]*u+m[2][1]*v-m[2][2]*s]);
-      const po=viewProject(o), pc=corners.map(viewProject);
-      if(!po||pc.some(p=>!p)) continue;
-      ctx.beginPath();
-      for(let i=0;i<4;i++){ ctx.moveTo(po[0],po[1]); ctx.lineTo(pc[i][0],pc[i][1]);
-        ctx.lineTo(pc[(i+1)%4][0],pc[(i+1)%4][1]); }
-      ctx.stroke();
-      const im=thumbs[c.idx];
+      const po=drawFrustum(c.c2w, c.fov, c.aspect, 0.25, '#6cf',
+                           tree.labels?('#'+c.idx):null);
+      if(!po) continue;
+      const im=thumbs[c.idx], a=c.aspect||1.78;
       if(tree.thumbnails&&im&&im.complete){ const w=Math.max(12, 900/po[2]);
         ctx.drawImage(im, po[0]-w/2, po[1]-w/(2*a), w, w/a); }
-      if(tree.labels){ ctx.fillStyle='#6cf';
-        ctx.fillText('#'+c.idx, po[0]+3, po[1]-3); }
     }
   }
   kfHandles=[];
   if(tree.keyframes&&kfCache.length){
-    const pts=kfCache.map(k=>viewProject([k.c2w[0][3],k.c2w[1][3],k.c2w[2][3]]));
-    if(tree.path&&pts.filter(Boolean).length>1){
-      ctx.strokeStyle='#fc6'; ctx.lineWidth=1.5; ctx.beginPath();
-      let started=false;
-      for(const p of pts){ if(!p){started=false; continue;}
-        if(!started){ ctx.moveTo(p[0],p[1]); started=true; }
-        else ctx.lineTo(p[0],p[1]); }
-      ctx.stroke();
+    // interpolated 3D path curve, re-projected through the live camera
+    if(tree.path){
+      if(pathCache.length>1) poly3(pathCache,'#fc6',1.5);
+      else if(kfCache.length>1)
+        poly3(kfCache.map(k=>[k.c2w[0][3],k.c2w[1][3],k.c2w[2][3]]),'#fc6',1.5);
     }
-    ctx.font='10px monospace';
-    pts.forEach((p,i)=>{ if(!p) return;
-      kfHandles.push({i, x:p[0], y:p[1], depth:p[2]});
-      ctx.fillStyle=(i===dragKf)?'#ff0':(editKfs?'#f80':'#fc6');
-      ctx.fillRect(p[0]-5,p[1]-5,10,10);
-      ctx.fillStyle='#fc6'; ctx.fillText('kf'+i, p[0]+7, p[1]+3); });
+    ctx.font='10px monospace'; ctx.lineWidth=1;
+    kfCache.forEach((k,i)=>{
+      const col=(i===selKf)?'#ff0':(editKfs?'#f80':'#fc6');
+      const po=drawFrustum(k.c2w, k.fov, 1.78, 0.18, col, 'kf'+i);
+      if(!po) return;
+      kfHandles.push({i, x:po[0], y:po[1], depth:po[2]});
+      ctx.fillStyle=col; ctx.fillRect(po[0]-5,po[1]-5,10,10);
+    });
+    if(editKfs&&selKf>=0&&kfCache[selKf]) drawGizmo(kfCache[selKf]);
   }
+}
+function distSeg(px,py,h){
+  const dx=h.x1-h.x0, dy=h.y1-h.y0, l2=dx*dx+dy*dy;
+  const t=l2?Math.max(0,Math.min(1,((px-h.x0)*dx+(py-h.y0)*dy)/l2)):0;
+  return Math.hypot(px-(h.x0+t*dx), py-(h.y0+t*dy));
 }
 ovl.onpointerdown=e=>{
   if(!editKfs) return;
+  if(selKf>=0){
+    for(const h of gizmoHits){
+      if(distSeg(e.clientX,e.clientY,h)<7){
+        dragMode={kind:'axis', axis:h.axis};
+        lx=e.clientX; ly=e.clientY; drawOverlay(); return; } }
+    if(gizmoRing&&Math.abs(Math.hypot(e.clientX-gizmoRing.cx,
+        e.clientY-gizmoRing.cy)-gizmoRing.r)<8){
+      dragMode={kind:'ring',
+        a0:Math.atan2(e.clientY-gizmoRing.cy, e.clientX-gizmoRing.cx)};
+      drawOverlay(); return; }
+  }
   for(const h of kfHandles){
     if(Math.abs(e.clientX-h.x)<8&&Math.abs(e.clientY-h.y)<8){
-      dragKf=h.i; lx=e.clientX; ly=e.clientY; return; } }
+      selKf=h.i; dragKf=h.i; lx=e.clientX; ly=e.clientY;
+      drawOverlay(); return; } }
+  selKf=-1; dragMode=null; drawOverlay();
 };
 ovl.onpointermove=e=>{
+  if(dragMode&&selKf>=0){
+    const kf=kfCache[selKf];
+    if(dragMode.kind==='axis'){
+      // world-axis translation: screen delta projected onto the axis's
+      // SCREEN direction, scaled back to world units via the projected
+      // gizmo arm length
+      const h=gizmoHits.find(q=>q.axis===dragMode.axis); if(!h) return;
+      const dxs=h.x1-h.x0, dys=h.y1-h.y0, len2=dxs*dxs+dys*dys;
+      if(len2<1) return;
+      const tpx=((e.clientX-lx)*dxs+(e.clientY-ly)*dys)/len2;
+      lx=e.clientX; ly=e.clientY;
+      const ax=AXES[dragMode.axis];
+      for(let r=0;r<3;r++) kf.c2w[r][3]+=ax[r]*tpx*GIZMO_LEN;
+    }else{
+      // world-Z rotation: pointer angle change around the projected
+      // origin, sign flipped when viewing the plane from below
+      if(!gizmoRing) return;
+      const a1=Math.atan2(e.clientY-gizmoRing.cy, e.clientX-gizmoRing.cx);
+      let dth=a1-dragMode.a0;
+      if(dth>Math.PI) dth-=2*Math.PI; if(dth<-Math.PI) dth+=2*Math.PI;
+      dragMode.a0=a1;
+      const sgn=(el>=0)?-1:1, c=Math.cos(sgn*dth), s=Math.sin(sgn*dth);
+      for(let col=0;col<3;col++){
+        const x=kf.c2w[0][col], y=kf.c2w[1][col];
+        kf.c2w[0][col]=c*x-s*y; kf.c2w[1][col]=s*x+c*y;
+      }
+    }
+    drawOverlay(); return;
+  }
   if(dragKf<0) return;
   const h=kfHandles.find(q=>q.i===dragKf); if(!h) return;
-  // screen-plane drag: world units per pixel at the handle's depth
+  // free drag (no gizmo handle): screen-plane move at the handle's depth
   const m=c2w(), f=(ovl.height/2)/Math.tan(fov*Math.PI/360);
   const s=h.depth/f, du=(e.clientX-lx)*s, dv=(e.clientY-ly)*s;
   lx=e.clientX; ly=e.clientY;
@@ -340,13 +461,19 @@ ovl.onpointermove=e=>{
   drawOverlay();
 };
 ovl.onpointerup=async e=>{
+  if(dragMode&&selKf>=0){
+    const i=selKf; dragMode=null;
+    await fetch('/update_keyframe',{method:'POST',
+      body:JSON.stringify({index:i, c2w:kfCache[i].c2w})});
+    refreshKfs(); poke(); return;
+  }
   if(dragKf<0) return;
   const i=dragKf; dragKf=-1;
   await fetch('/update_keyframe',{method:'POST',
     body:JSON.stringify({index:i, c2w:kfCache[i].c2w})});
-  refreshKfs();
+  refreshKfs(); poke();
 };
-setInterval(()=>{ if(showCams||tree.keyframes) drawOverlay(); }, 120);
+setInterval(()=>{ if(showCams||tree.keyframes||editKfs) drawOverlay(); }, 120);
 
 // ---- ExportPanel: generate snt-render / snt-export commands ----
 document.getElementById('exptoggle').onclick=()=>{
@@ -371,6 +498,10 @@ setInterval(async()=>{ if(!showLogs) return;
   lp.textContent=j.logs.join('\\n'); lp.scrollTop=lp.scrollHeight; }, 2000);
 
 poke(); loop(); refreshKfs();
+// introspection hook for the browser-driven e2e check (script-scoped
+// lets are otherwise unreachable from the console)
+window.__dbg=()=>({kfHandles, gizmoHits, gizmoRing, selKf, editKfs,
+                   nPath:pathCache.length, az, el, radius});
 </script></body></html>"""
 
 
