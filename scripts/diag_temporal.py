@@ -266,6 +266,204 @@ def compact_ablation(name, B, rows, c_row, L=2, n1=3, n2=9):
           st_compact_merged, jnp.float32(0.0), lv, n1=n1, n2=n2)
 
 
+def chankey_ablation(name, B, rows, c_row, L=2, paired=True, n1=3, n2=9):
+    """CHANNEL-KEYED backward candidate: a temporal update touches at
+    most 2L of the c_row channels (the window picks), yet the current
+    backward scatters DENSE c_pad-lane rows (34 -> 128, 66 -> 128: most
+    lanes are zero).  Making the channel part of the scatter key
+    (key = idx * c_row + ch) turns the stream into [2L*B, p] rows of a
+    virtual [rows * c_row, p] table (p = 2 z-paired corners or 1), which
+    the kernel row-packs 128/p rows per lane-line — the dense one-hot
+    expansion, the lane padding AND the 128-lane scatter all disappear.
+    Needs rows * c_row < 2^24 (f32 meta): true for the whole nerfplayer
+    family (log2_hashmap_size 17/18, c_row 34/66)."""
+    lv = make_level(B, rows, c_row, level_dim=L)
+    c_pad = hg._temporal_row_pad(c_row)
+    K = 8
+    Keff = K // 2 if paired else K
+    p = 2 if paired else 1
+    r_virt = rows * c_row
+    print(f"== {name} chankey: B={B} rows={rows} c_row={c_row} "
+          f"c_pad={c_pad} 2L={2 * L} paired={paired} r_virt={r_virt} ==")
+
+    def build_valch(a, c):
+        g = a["g"] + c
+        vals = jnp.concatenate([g * a["w_a"], g * a["w_b"]], -1)  # [B,2L]
+        chs = jnp.concatenate([a["ch_a"], a["ch_b"]], -1)         # [B,2L]
+        return vals, chs
+
+    def fold(virt):
+        if paired:
+            return (virt[:, 0].reshape(rows, c_row)
+                    + jnp.roll(virt[:, 1].reshape(rows, c_row), 1, 0))
+        return virt[:, 0].reshape(rows, c_row)
+
+    def st_chankey(c, a):
+        vals, chs = build_valch(a, c)
+        d_virt = jnp.zeros((r_virt, p), jnp.float32)
+        for k in range(Keff):
+            kk = 2 * k if paired else k
+            keys = (a["idxs"][kk][:, None] * c_row + chs).T.reshape(
+                2 * L * B)
+            pay0 = (a["ws"][kk][:, None] * vals).T.reshape(2 * L * B)
+            if paired:
+                pay1 = (a["ws"][kk + 1][:, None] * vals).T.reshape(
+                    2 * L * B)
+                keys_s, p0, p1 = jax.lax.sort((keys, pay0, pay1),
+                                              num_keys=1)
+                pay_s = jnp.stack([p0, p1], -1)
+            else:
+                keys_s, p0 = jax.lax.sort((keys, pay0), num_keys=1)
+                pay_s = p0[:, None]
+            d_virt = d_virt + pk.sorted_scatter_add(
+                pay_s, keys_s, r=r_virt, c=p)
+        return c + jnp.sum(fold(d_virt)) * 1e-20
+
+    bench(f"{name} bwd CHANKEY per-corner{'-pair' if paired else ''} "
+          f"({Keff} sorts of {2 * L}B)", st_chankey, jnp.float32(0.0),
+          lv, n1=n1, n2=n2)
+
+    def st_chankey_merged(c, a):
+        vals, chs = build_valch(a, c)
+        keys_all, p0_all, p1_all = [], [], []
+        for k in range(Keff):
+            kk = 2 * k if paired else k
+            keys_all.append(
+                (a["idxs"][kk][:, None] * c_row + chs).T.reshape(
+                    2 * L * B))
+            p0_all.append(
+                (a["ws"][kk][:, None] * vals).T.reshape(2 * L * B))
+            if paired:
+                p1_all.append(
+                    (a["ws"][kk + 1][:, None] * vals).T.reshape(
+                        2 * L * B))
+        keys = jnp.concatenate(keys_all)
+        ops = (keys, jnp.concatenate(p0_all))
+        if paired:
+            ops = ops + (jnp.concatenate(p1_all),)
+        srt = jax.lax.sort(ops, num_keys=1)
+        pay_s = (jnp.stack([srt[1], srt[2]], -1) if paired
+                 else srt[1][:, None])
+        d_virt = pk.sorted_scatter_add(pay_s, srt[0], r=r_virt, c=p)
+        return c + jnp.sum(fold(d_virt)) * 1e-20
+
+    bench(f"{name} bwd CHANKEY MERGED (1 sort of {Keff * 2 * L}B)",
+          st_chankey_merged, jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+    def st_chankey_perj(c, a):
+        vals, chs = build_valch(a, c)
+        d_virt = jnp.zeros((r_virt, p), jnp.float32)
+        for k in range(Keff):
+            kk = 2 * k if paired else k
+            for j in range(2 * L):
+                keys = a["idxs"][kk] * c_row + chs[:, j]
+                pay0 = a["ws"][kk] * vals[:, j]
+                if paired:
+                    keys_s, p0, p1 = jax.lax.sort(
+                        (keys, pay0, a["ws"][kk + 1] * vals[:, j]),
+                        num_keys=1)
+                    pay_s = jnp.stack([p0, p1], -1)
+                else:
+                    keys_s, p0 = jax.lax.sort((keys, pay0), num_keys=1)
+                    pay_s = p0[:, None]
+                d_virt = d_virt + pk.sorted_scatter_add(
+                    pay_s, keys_s, r=r_virt, c=p)
+        return c + jnp.sum(fold(d_virt)) * 1e-20
+
+    bench(f"{name} bwd CHANKEY per-j ({Keff * 2 * L} sorts of B)",
+          st_chankey_perj, jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+
+def trowkey_ablation(name, B, rows, c_row, T, L=2, paired=True,
+                     n1=3, n2=9):
+    """TEMPORAL-ROW-KEYED backward candidate: all 2L channel picks of a
+    sample derive from ONE temporal-table row t_row in [0, T-1), and the
+    pick CHANNELS are a static function of t_row — only the interp
+    weights vary per sample.  So key = idx * (T-1) + t_row (ONE key
+    stream per corner, all corners merged into ONE sort), payload =
+    the 2L pre-scaled values (x2 z-corners when paired), scatter into a
+    virtual [rows*(T-1), 2L*p] table, and fold with a STATIC
+    [(T-1)*2L*p, c_row] one-hot matmul (MXU, ~2G MACs).  vs chankey:
+    1 sort of Keff*B keys instead of Keff sorts of 2L*B keys; vs the
+    dense path: the scatter consumes 2L*p lanes instead of c_pad=128.
+    Needs rows * (T-1) < 2^24: true for ALL family grids incl. the
+    -nerfacto main (262144 * 63 = 16.5M)."""
+    lv = make_level(B, rows, c_row, level_dim=L)
+    K = 8
+    Keff = K // 2 if paired else K
+    p = 2 if paired else 1
+    pl_ = 2 * L * p
+    r_virt = rows * (T - 1)
+    print(f"== {name} trowkey: B={B} rows={rows} c_row={c_row} T={T} "
+          f"paired={paired} r_virt={r_virt} pay={pl_} ==")
+    t_row = jnp.asarray(rng.integers(0, T - 1, (B,)).astype(np.int32))
+    # static fold matrix [(T-1)*2L*p ... p folds separately]: random
+    # one-hot columns stand in for the real ch(t_row) tables (timing)
+    fold_cols = rng.integers(0, c_row, (T - 1, 2 * L)).astype(np.int32)
+    Mfold = np.zeros(((T - 1) * 2 * L, c_row), np.float32)
+    for t in range(T - 1):
+        for j in range(2 * L):
+            Mfold[t * 2 * L + j, fold_cols[t, j]] = 1.0
+    Mfold = jnp.asarray(Mfold)
+
+    def st_trowkey(c, a):
+        g = a["g"] + c
+        vals = jnp.concatenate([g * a["w_a"], g * a["w_b"]], -1)  # [B,2L]
+        keys_all, pays = [], []
+        for k in range(Keff):
+            kk = 2 * k if paired else k
+            keys_all.append(a["idxs"][kk] * (T - 1) + t_row)
+            if paired:
+                pays.append(jnp.concatenate(
+                    [a["ws"][kk][:, None] * vals,
+                     a["ws"][kk + 1][:, None] * vals], -1))  # [B, 4L]
+            else:
+                pays.append(a["ws"][kk][:, None] * vals)
+        keys = jnp.concatenate(keys_all)
+        pay = jnp.concatenate(pays, 0)                    # [Keff*B, pl_]
+        srt = jax.lax.sort(
+            (keys, *(pay[:, j] for j in range(pl_))), num_keys=1)
+        pay_s = jnp.stack(srt[1:], -1)
+        virt = pk.sorted_scatter_add(pay_s, srt[0], r=r_virt, c=pl_)
+        v = virt.reshape(rows, (T - 1), p, 2 * L)
+        d0 = v[:, :, 0].reshape(rows, (T - 1) * 2 * L) @ Mfold
+        if paired:
+            d1 = v[:, :, 1].reshape(rows, (T - 1) * 2 * L) @ Mfold
+            d0 = d0 + jnp.roll(d1, 1, 0)
+        return c + jnp.sum(d0) * 1e-20
+
+    bench(f"{name} bwd TROWKEY MERGED (1 sort of {Keff}B, "
+          f"{pl_}-lane pay)", st_trowkey, jnp.float32(0.0), lv,
+          n1=n1, n2=n2)
+
+    def st_trowkey_percorner(c, a):
+        g = a["g"] + c
+        vals = jnp.concatenate([g * a["w_a"], g * a["w_b"]], -1)
+        d_virt = jnp.zeros((r_virt, pl_), jnp.float32)
+        for k in range(Keff):
+            kk = 2 * k if paired else k
+            keys = a["idxs"][kk] * (T - 1) + t_row
+            if paired:
+                pay = jnp.concatenate(
+                    [a["ws"][kk][:, None] * vals,
+                     a["ws"][kk + 1][:, None] * vals], -1)
+            else:
+                pay = a["ws"][kk][:, None] * vals
+            srt = jax.lax.sort(
+                (keys, *(pay[:, j] for j in range(pl_))), num_keys=1)
+            d_virt = d_virt + pk.sorted_scatter_add(
+                jnp.stack(srt[1:], -1), srt[0], r=r_virt, c=pl_)
+        v = d_virt.reshape(rows, (T - 1), p, 2 * L)
+        d0 = v[:, :, 0].reshape(rows, (T - 1) * 2 * L) @ Mfold
+        if paired:
+            d1 = v[:, :, 1].reshape(rows, (T - 1) * 2 * L) @ Mfold
+            d0 = d0 + jnp.roll(d1, 1, 0)
+        return c + jnp.sum(d0) * 1e-20
+
+    bench(f"{name} bwd TROWKEY per-corner ({Keff} sorts of B)",
+          st_trowkey_percorner, jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+
 def encode_ab():
     """Whole-encode A/B at the nerfplayer field scales."""
     from soccernerfs_tpu.ops.hash_grid import HashGridConfig, hash_grid_encode
@@ -398,6 +596,19 @@ def main():
     if which in ("compact", "all"):
         compact_ablation("prop1", 1_048_576, 1 << 17, 34)
         compact_ablation("main", 196_608, 1 << 17, 66)
+    if which in ("chankey", "all"):
+        chankey_ablation("prop1", 1_048_576, 1 << 17, 34, paired=True)
+        chankey_ablation("main", 196_608, 1 << 17, 66, paired=False)
+        chankey_ablation("prop2", 393_216, 1 << 17, 34, paired=True)
+    if which in ("trowkey", "all"):
+        trowkey_ablation("prop1", 1_048_576, 1 << 17, 34, T=32,
+                         paired=True)
+        trowkey_ablation("main", 196_608, 1 << 17, 66, T=64,
+                         paired=False)
+        trowkey_ablation("main18", 196_608, 1 << 18, 66, T=64,
+                         paired=False)
+        trowkey_ablation("prop2", 393_216, 1 << 17, 34, T=32,
+                         paired=True)
     if which in ("fwd", "all"):
         fwd_ablation("prop1", 1_048_576, 5, 32, 64)
     if which in ("encode", "all"):

@@ -1,13 +1,28 @@
-"""Long dynamic-model quality gate on TPU: 5k-step k-planes (4D).
+"""Long dynamic-model quality gate — pinned JSON artifacts + asserts.
 
 Trains the DYNAMIC k-planes method (full registry loss set: interlevel,
 distortion, plane TV, temporal smoothness — configs/method_configs.py)
-on the synthetic broadcaststyle fixture (moving ball, 10 frames, 96x96)
-for 5000 steps on the real chip, then evals held-out PSNR/SSIM through
-the standard eval CLI.  Extends the round-2 2000-step check
-(VERDICT r2 item 5); numbers land in PERF.md.
+on the synthetic broadcaststyle fixture (moving ball, 10 frames, 96x96,
+7 train views + held-out Camera_20) for N steps, evals the held-out
+view through the standard eval CLI, renders a train-view PSNR sample
+(evidence for the overfitting read of the 30k run — held-out PSNR
+recedes past ~5k steps while train-view PSNR keeps climbing), and
+captures the trainer's rolling rays/s events for stability bounds.
 
-Run (TPU): python scripts/tpu_dynamic_convergence.py [steps]
+The result is WRITTEN to artifacts/convergence_<steps>_<backend>.json
+and ASSERTED against the pinned floors below — the driver or CI can
+re-run the script and diff/regenerate the artifact
+(ref quality metrics of record: models/kplanes.py:472-484; schedule:
+configs/method_configs.py:527).
+
+Run:
+  python scripts/tpu_dynamic_convergence.py [steps]          # TPU
+  python scripts/tpu_dynamic_convergence.py [steps] --cpu    # pure-XLA
+  python scripts/tpu_dynamic_convergence.py --compare A B    # SSIM A/B
+
+--compare asserts the CPU pure-XLA path and the TPU kernel path agree
+at the STABLE 96x96 scale (VERDICT r4 weak #5: |dSSIM| <= 0.06,
+|dPSNR| <= 0.5 dB).
 """
 import json
 import pathlib
@@ -17,32 +32,87 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from soccernerfs_tpu.data.fixtures import make_broadcaststyle_fixture  # noqa: E402
-from soccernerfs_tpu.scripts import eval as eval_script  # noqa: E402
-from soccernerfs_tpu.scripts import train as train_script  # noqa: E402
+REPO = pathlib.Path("/root/repo")
+
+# Pinned floors per (steps, backend).  Values are measured results minus
+# a tolerance margin (measured: tpu 2k = 21.9 dB/0.78; tpu 5k =
+# 27.49/0.792; tpu 30k = 25.72/0.965 — PERF.md).
+FLOORS = {
+    (2000, "tpu"): {"psnr": 21.0, "ssim": 0.70},
+    (2000, "cpu"): {"psnr": 21.0, "ssim": 0.70},
+    (5000, "tpu"): {"psnr": 26.5, "ssim": 0.75},
+    (30000, "tpu"): {"psnr": 24.7, "ssim": 0.93},
+}
+# rolling rays/s quarter-means may drift at most this fraction (TPU
+# runs >= 5k steps; shorter runs are compile-dominated)
+STABILITY_DRIFT = 0.15
+# --compare tolerances (CPU pure-XLA vs TPU kernel path, same workload)
+SSIM_TOL = 0.06
+PSNR_TOL = 0.5
 
 
-def main(steps: int = 5000) -> None:
-    tmp = pathlib.Path(tempfile.mkdtemp(prefix="snt_dynconv_"))
-    # 7 train views + the held-out Camera_20: 3 train views of a DYNAMIC
-    # scene leave the held-out view genuinely unconstrained (~15 dB) and
-    # gate nothing; 7 views pin a meaningful reconstruction number
-    data = make_broadcaststyle_fixture(
-        tmp / "data", num_cameras=8, num_steps=10, h=96, w=96
-    )
-    out = tmp / "outputs"
-    t0 = time.time()
-    train_script.main([
-        "k-planes",
-        "--max-num-iterations", str(steps),
-        "--steps-per-save", str(steps),
-        "--output-dir", str(out),
-        "--vis", "terminal",
-        "--pipeline.model.spacetime-resolution", "32", "32", "32", "10",
-        "--pipeline.model.multiscale-res", "1", "2", "4",
-        "broadcaststyle-data", "--data", str(data),
-    ])
-    train_s = time.time() - t0
+def train_view_psnr(trainer, max_views: int = 8) -> float:
+    """Render a train-view sample and return its mean PSNR."""
+    import numpy as np
+
+    ds = trainer.datamanager.train_dataset
+    stride = max(1, len(ds) // max_views)
+    psnrs = []
+    for idx in range(0, len(ds), stride):
+        outputs = trainer.render_camera(trainer.train_cameras, idx)
+        gt = np.asarray(ds[idx]["image"], np.float32)
+        mse = float(np.mean((outputs["rgb"] - gt) ** 2))
+        psnrs.append(-10.0 * np.log10(max(mse, 1e-12)))
+    return float(np.mean(psnrs))
+
+
+def run(steps: int, backend: str) -> dict:
+    import numpy as np
+
+    if backend == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from soccernerfs_tpu.data.fixtures import make_broadcaststyle_fixture
+    from soccernerfs_tpu.scripts import eval as eval_script
+    from soccernerfs_tpu.scripts import train as train_script
+    from soccernerfs_tpu.utils import writer
+    from soccernerfs_tpu.utils.eval_utils import eval_setup
+    from soccernerfs_tpu.utils.writer import EventName
+
+    # capture the trainer's rolling rays/s events (the reference's
+    # throughput metric of record, ref: engine/trainer.py:225-231)
+    rays_events: list = []
+    orig_put_scalar = writer.put_scalar
+
+    def capture(name, value, step):
+        if name == EventName.TRAIN_RAYS_PER_SEC and step >= 100:
+            rays_events.append(float(value))
+        return orig_put_scalar(name, value, step)
+
+    writer.put_scalar = capture
+    try:
+        tmp = pathlib.Path(tempfile.mkdtemp(prefix="snt_dynconv_"))
+        data = make_broadcaststyle_fixture(
+            tmp / "data", num_cameras=8, num_steps=10, h=96, w=96
+        )
+        out = tmp / "outputs"
+        t0 = time.time()
+        train_script.main([
+            "k-planes",
+            "--max-num-iterations", str(steps),
+            "--steps-per-save", str(steps),
+            "--output-dir", str(out),
+            "--vis", "terminal",
+            "--pipeline.model.spacetime-resolution", "32", "32", "32", "10",
+            "--pipeline.model.multiscale-res", "1", "2", "4",
+            "broadcaststyle-data", "--data", str(data),
+        ])
+        train_s = time.time() - t0
+    finally:
+        writer.put_scalar = orig_put_scalar
+
     cfg = sorted(out.glob("*/k-planes/*/config.yml"))[-1]
     eval_script.main([
         "--load-config", str(cfg),
@@ -50,15 +120,100 @@ def main(steps: int = 5000) -> None:
         "--no-dynmetric",
     ])
     results = json.loads((tmp / "r.json").read_text())["results"]
-    print(json.dumps({
-        "metric": "kplanes_dynamic_5k_heldout",
+
+    # train-view PSNR sample on the same checkpoint
+    _, trainer, _ = eval_setup(cfg, "test", None)
+    tv_psnr = train_view_psnr(trainer)
+
+    rec = {
+        "metric": f"kplanes_dynamic_{steps}_heldout",
         "steps": steps,
+        "backend": backend,
         "psnr": round(results["psnr"], 2),
         "ssim": round(results["ssim"], 3),
+        "train_view_psnr": round(tv_psnr, 2),
         "train_s": round(train_s, 1),
         "ms_per_step": round(train_s / steps * 1e3, 1),
-    }), flush=True)
+    }
+    if rays_events:
+        ev = np.asarray(rays_events)
+        q = max(1, len(ev) // 4)
+        quarters = [float(ev[i * q:(i + 1) * q].mean()) for i in range(4)]
+        rec["rays_per_sec"] = {
+            "p5": round(float(np.percentile(ev, 5))),
+            "p50": round(float(np.percentile(ev, 50))),
+            "p95": round(float(np.percentile(ev, 95))),
+            "quarter_means": [round(x) for x in quarters],
+        }
+    return rec
+
+
+def check(rec: dict) -> list:
+    """Assert the pinned floors; returns a list of failure strings."""
+    fails = []
+    floors = FLOORS.get((rec["steps"], rec["backend"]))
+    if floors:
+        if rec["psnr"] < floors["psnr"]:
+            fails.append(f"psnr {rec['psnr']} < floor {floors['psnr']}")
+        if rec["ssim"] < floors["ssim"]:
+            fails.append(f"ssim {rec['ssim']} < floor {floors['ssim']}")
+    if rec["train_view_psnr"] < rec["psnr"] - 0.5:
+        fails.append(
+            f"train-view psnr {rec['train_view_psnr']} below held-out "
+            f"{rec['psnr']} - 0.5 — reconstruction is not fitting train views"
+        )
+    rps = rec.get("rays_per_sec")
+    if rps and rec["backend"] == "tpu" and rec["steps"] >= 5000:
+        qm = rps["quarter_means"]
+        drift = (max(qm) - min(qm)) / max(max(qm), 1)
+        if drift > STABILITY_DRIFT:
+            fails.append(f"rays/s quarter-mean drift {drift:.2f} > {STABILITY_DRIFT}")
+    return fails
+
+
+def compare(path_a: str, path_b: str) -> list:
+    a = json.loads(pathlib.Path(path_a).read_text())
+    b = json.loads(pathlib.Path(path_b).read_text())
+    assert a["steps"] == b["steps"], "compare runs must share step count"
+    fails = []
+    d_ssim = abs(a["ssim"] - b["ssim"])
+    d_psnr = abs(a["psnr"] - b["psnr"])
+    if d_ssim > SSIM_TOL:
+        fails.append(f"|dSSIM| {d_ssim:.3f} > {SSIM_TOL} "
+                     f"({a['backend']} {a['ssim']} vs {b['backend']} {b['ssim']})")
+    if d_psnr > PSNR_TOL:
+        fails.append(f"|dPSNR| {d_psnr:.2f} > {PSNR_TOL}")
+    print(json.dumps({
+        "metric": "ssim_ab", "steps": a["steps"],
+        a["backend"]: {"psnr": a["psnr"], "ssim": a["ssim"]},
+        b["backend"]: {"psnr": b["psnr"], "ssim": b["ssim"]},
+        "d_ssim": round(d_ssim, 3), "d_psnr": round(d_psnr, 2),
+        "ok": not fails,
+    }, indent=2))
+    return fails
+
+
+def main(argv) -> int:
+    if argv and argv[0] == "--compare":
+        fails = compare(argv[1], argv[2])
+    else:
+        steps = int(argv[0]) if argv else 5000
+        backend = "cpu" if "--cpu" in argv else "tpu"
+        rec = run(steps, backend)
+        fails = check(rec)
+        rec["ok"] = not fails
+        rec["fails"] = fails
+        art = REPO / "artifacts" / f"convergence_{steps}_{backend}.json"
+        art.parent.mkdir(exist_ok=True)
+        art.write_text(json.dumps(rec, indent=2), "utf8")
+        print(json.dumps(rec), flush=True)
+        print(f"artifact: {art}")
+    if fails:
+        print("FAILED:\n  " + "\n  ".join(fails))
+        return 1
+    print("all floors hold")
+    return 0
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 5000)
+    sys.exit(main(sys.argv[1:]))
