@@ -97,5 +97,59 @@ def main():
     bench("scatter c=4 4B", sc4, jnp.zeros((1,)), (g4v, k4), per_unit=4 * b)
 
 
+def temporal_main():
+    """Pairing A/B at the TEMPORAL MAIN grid scale (nerfplayer-nerfacto:
+    rows=2^18, c_row=66 bf16, B=196k, 16 levels -> x16 one-level cost).
+    The r3 'wash' arithmetic (132-lane packed row = 2 tiles = 8x1) was
+    THROUGHPUT reasoning; at 35-70 MB sources the gather is ROW-bound
+    (4-10 ns/row, PERF.md r4), so halving rows may win even with double
+    row bytes."""
+    rows, c, b = 1 << 18, 66, 196_608
+    table = jnp.asarray(
+        rng.standard_normal((rows, c)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    table2 = jnp.concatenate([table, jnp.roll(table, -1, axis=0)], -1)
+    idx8 = jnp.asarray(rng.integers(0, rows, (8, b), dtype=np.int32))
+    ws8 = jnp.asarray(rng.uniform(0, 1, (8, b)).astype(np.float32))
+
+    def g8(cr, args, rows=rows):
+        t, i8, w8 = args
+        out = 0.0
+        for k in range(8):
+            i = (i8[k] + cr.astype(jnp.int32)[0]) % rows
+            out = out + w8[k][:, None] * jnp.take(t, i, axis=0,
+                                                  mode="clip")
+        return cr + out[:1, 0]
+
+    def g4(cr, args, rows=rows, c=c):
+        t2, i8, w8 = args
+        out = 0.0
+        for k in range(4):
+            i = (i8[k] + cr.astype(jnp.int32)[0]) % rows
+            f = jnp.take(t2, i, axis=0, mode="clip")
+            out = out + w8[k][:, None] * f[:, :c] \
+                + w8[4 + k][:, None] * f[:, c:]
+        return cr + out[:1, 0]
+
+    bench("MAIN gather8 [2^18,66]bf16", g8, jnp.zeros((1,)),
+          (table, idx8, ws8), per_unit=8 * b)
+    bench("MAIN gather4 [2^18,132]bf16 packed", g4, jnp.zeros((1,)),
+          (table2, idx8, ws8), per_unit=4 * b)
+    # same at the FULL-nerfplayer main size (2^17 rows)
+    rows17 = 1 << 17
+    t17 = table[:rows17]
+    t17_2 = jnp.concatenate([t17, jnp.roll(t17, -1, axis=0)], -1)
+    i17 = idx8 % rows17
+    bench("MAIN17 gather8 [2^17,66]bf16",
+          lambda cr, a: g8(cr, a, rows=rows17), jnp.zeros((1,)),
+          (t17, i17, ws8), per_unit=8 * b)
+    bench("MAIN17 gather4 [2^17,132]bf16 packed",
+          lambda cr, a: g4(cr, a, rows=rows17), jnp.zeros((1,)),
+          (t17_2, i17, ws8), per_unit=4 * b)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "temporal-main":
+        temporal_main()
+    else:
+        main()

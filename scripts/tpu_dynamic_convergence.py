@@ -66,7 +66,7 @@ def train_view_psnr(trainer, max_views: int = 8) -> float:
     return float(np.mean(psnrs))
 
 
-def run(steps: int, backend: str) -> dict:
+def run(steps: int, backend: str, rays: int = 4096) -> dict:
     import numpy as np
 
     if backend == "cpu":
@@ -105,6 +105,7 @@ def run(steps: int, backend: str) -> dict:
             "--steps-per-save", str(steps),
             "--output-dir", str(out),
             "--vis", "terminal",
+            "--pipeline.datamanager.train-num-rays-per-batch", str(rays),
             "--pipeline.model.spacetime-resolution", "32", "32", "32", "10",
             "--pipeline.model.multiscale-res", "1", "2", "4",
             "broadcaststyle-data", "--data", str(data),
@@ -129,6 +130,7 @@ def run(steps: int, backend: str) -> dict:
         "metric": f"kplanes_dynamic_{steps}_heldout",
         "steps": steps,
         "backend": backend,
+        "rays_per_batch": rays,
         "psnr": round(results["psnr"], 2),
         "ssim": round(results["ssim"], 3),
         "train_view_psnr": round(tv_psnr, 2),
@@ -151,7 +153,8 @@ def run(steps: int, backend: str) -> dict:
 def check(rec: dict) -> list:
     """Assert the pinned floors; returns a list of failure strings."""
     fails = []
-    floors = FLOORS.get((rec["steps"], rec["backend"]))
+    floors = (FLOORS.get((rec["steps"], rec["backend"]))
+              if rec.get("rays_per_batch", 4096) == 4096 else None)
     if floors:
         if rec["psnr"] < floors["psnr"]:
             fails.append(f"psnr {rec['psnr']} < floor {floors['psnr']}")
@@ -199,11 +202,15 @@ def main(argv) -> int:
     else:
         steps = int(argv[0]) if argv else 5000
         backend = "cpu" if "--cpu" in argv else "tpu"
-        rec = run(steps, backend)
+        rays = (int(argv[argv.index("--rays") + 1])
+                if "--rays" in argv else 4096)
+        rec = run(steps, backend, rays)
         fails = check(rec)
         rec["ok"] = not fails
         rec["fails"] = fails
-        art = REPO / "artifacts" / f"convergence_{steps}_{backend}.json"
+        suffix = f"_r{rays}" if rays != 4096 else ""
+        art = (REPO / "artifacts"
+               / f"convergence_{steps}_{backend}{suffix}.json")
         art.parent.mkdir(exist_ok=True)
         art.write_text(json.dumps(rec, indent=2), "utf8")
         print(json.dumps(rec), flush=True)

@@ -205,6 +205,35 @@ def get_temporal_index(cfg: HashGridConfig, time: jnp.ndarray) -> jnp.ndarray:
     return rows
 
 
+def get_temporal_row(cfg: HashGridConfig, time: jnp.ndarray) -> jnp.ndarray:
+    """time [B] -> temporal-table row index [B] int32 (the same
+    ``row_idx`` get_temporal_index gathers the pick table with)."""
+    n_rows = cfg.temporal_dim - 1
+    row_val = time * (n_rows - 1)
+    return jnp.clip(jnp.floor(row_val).astype(jnp.int32), 0, n_rows - 1)
+
+
+@functools.lru_cache(maxsize=None)
+def temporal_fold_matrix(cfg: HashGridConfig) -> np.ndarray:
+    """Static [(T-1) * 2L, c_row] one-hot fold for the temporal-row-keyed
+    backward: payload slot j of temporal row t lands in channel
+    ch_a(t, j) for j < L, ch_b(t, j - L) for j >= L.  The pick CHANNELS
+    are a static function of the temporal row (only the interpolation
+    weights vary per sample — see temporal_tables), which is what lets
+    the table gradient ride ``idx * (T-1) + t_row`` keys with a compact
+    2L-value payload and fold back densely with one MXU matmul."""
+    sampling_index, _, _, _ = temporal_tables(cfg)
+    n_rows = sampling_index.shape[0]
+    L = cfg.level_dim
+    c_row = cfg.level_dim + cfg.temporal_dim
+    m = np.zeros((n_rows * 2 * L, c_row), np.float32)
+    for t in range(n_rows):
+        for l in range(L):
+            m[t * 2 * L + l, int(sampling_index[t, 4 * l + 1])] += 1.0
+            m[t * 2 * L + L + l, int(sampling_index[t, 4 * l + 3])] += 1.0
+    return m
+
+
 # ---------------------------------------------------------------------------
 # Encoding
 # ---------------------------------------------------------------------------
@@ -253,6 +282,12 @@ _MERGED_GW_BYTES_CAP = 128 * 1024 * 1024
 # dense-gw source size above which the temporal backward's per-corner
 # permute switches to the compact sort-operand payload (see op_bwd)
 _COMPACT_STREAM_BYTES = 128 * 1024 * 1024
+# temporal-row-keyed backward: total keys at/below this sort in ONE
+# merged pass; above it, per-corner sorts win (76.0 vs 61.7 ms/level at
+# prop1 4.2M keys; 9.2 vs 11.8 at main 1.6M — scripts/diag_temporal.py)
+_TROWKEY_MERGE_KEYS = 2_000_000
+# tests flip this off to exercise the dense/compact fallback branches
+_TROWKEY_ENABLE = True
 # NOTE on layouts: pinning the per-level table cotangent column-major
 # here was measured COUNTERPRODUCTIVE (one extra padded {1,0} copy of
 # every d_table at constraint points, +2.9 GB HLO temps at
@@ -552,6 +587,7 @@ def _window_pick(acc, ch_a, w_a, ch_b, w_b):
 
 
 def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
+                               t_row=None, fold_m=None,
                                input_grads: bool = True,
                                paired: bool = False):
     """Temporal sliding-window variant of _hash_level_apply.
@@ -589,6 +625,11 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
         [B, L] f32.
     """
     rows, c_row = lvl_table.shape
+    if t_row is None:
+        # no temporal-row stream (oversized table fallback): the keyed
+        # branch gates off on fold_m, the op still needs a traced arg
+        t_row = jnp.zeros((idxs.shape[1],), jnp.int32)
+        fold_m = None
     # pairing halves the BACKWARD's sorts/permute-rows/scatter calls at
     # any row width (the >128-lane payload splits into kernel-legal
     # segments, _scatter_sorted_wide); the FORWARD pairs only while the
@@ -620,7 +661,7 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
     _acc_small = idxs.shape[1] * c_row * 4 <= _RESIDUAL_BYTES_CAP
 
     @jax.custom_vjp
-    def op(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
+    def op(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b, t_row):
         # bf16 row gathers (f32 weights promote the sum back to f32):
         # halves the dominant [B, row_channels] streams — at NGP sample
         # counts (2M points) these are the step's biggest buffers
@@ -637,16 +678,16 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
             out = out + _window_pick(term, ch_a, w_a, ch_b, w_b)
         return out
 
-    def op_fwd(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b):
+    def op_fwd(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b, t_row):
         # O(inputs) residuals only — corner features are re-gathered per
         # corner in the backward (see _hash_level_apply)
-        return (op(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b),
-                (lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b))
+        return (op(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b, t_row),
+                (lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b, t_row))
 
     def op_bwd(res, g):
         from soccernerfs_tpu.ops.pallas import plane_kernels as pk
 
-        lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b = res
+        lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b, t_row = res
         K, B = idxs.shape
         ch_i = jnp.arange(c_row, dtype=ch_a.dtype)[None, :]
         # u[b, c] = sum_l g[b, l] (w_a 1[ch_a==c] + w_b 1[ch_b==c]):
@@ -739,6 +780,12 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
         merged = Keff * B * lanes * 2 <= gw_cap
         compact = (not merged
                    and B * lanes * 2 >= _COMPACT_STREAM_BYTES)
+        L = g.shape[-1]
+        p_z = 2 if paired else 1
+        n_trows = (fold_m.shape[0] // (2 * L)
+                   if fold_m is not None else 0)
+        trowkey = (_TROWKEY_ENABLE and fold_m is not None
+                   and _use_scatter_kernel(p_z * 2 * L, rows * n_trows))
 
         def _unfold(v):
             # virtual [rows, c_eff] table -> [rows, c_row]
@@ -747,7 +794,70 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
                                                axis=0)
             return v[:, :c_row]
 
-        if compact:
+        if trowkey:
+            # TEMPORAL-ROW-KEYED scatter: an update touches at most 2L
+            # of the c_row channels, and the pick CHANNELS are a static
+            # function of the temporal-table row (temporal_tables) — so
+            # the stream rides ``idx * (T-1) + t_row`` keys with a
+            # compact [2L * p_z]-value payload into a virtual
+            # [rows * (T-1), 2L * p_z] table, ONE sort over all corner
+            # streams, and folds back densely with one static one-hot
+            # MXU matmul.  Replaces the dense c_pad(=128)-lane one-hot
+            # expansion + scatter: 16-32x less kernel I/O, no lane
+            # padding, no per-corner u broadcast (measured
+            # scripts/diag_temporal.py trowkey vs the dense stages).
+            vals = jnp.concatenate([g * w_a, g * w_b], -1)  # [B, 2L]
+            pl_ = p_z * 2 * L
+
+            def _stream(k):
+                kk = 2 * k if paired else k
+                key_k = idxs[kk] * n_trows + t_row
+                if paired:
+                    pay_k = jnp.concatenate(
+                        [ws[kk][:, None] * vals,
+                         ws[kk + 1][:, None] * vals], -1)
+                else:
+                    pay_k = ws[kk][:, None] * vals
+                return key_k, pay_k.astype(jnp.bfloat16)
+
+            # one merged sort at small B; per-corner sorts at prop scale
+            # (sorting Keff*B=4M keys in one pass measured SLOWER than
+            # Keff sorts of B — 76.0 vs 61.7 ms/level at prop1,
+            # scripts/diag_temporal.py trowkey)
+            if Keff * B <= _TROWKEY_MERGE_KEYS:
+                streams = [_stream(k) for k in range(Keff)]
+                keys = jnp.concatenate([s[0] for s in streams])
+                pay = jnp.concatenate([s[1] for s in streams], 0)
+                srt = jax.lax.sort(
+                    (keys, *(pay[:, j] for j in range(pl_))), num_keys=1)
+                virt = pk.sorted_scatter_add(
+                    jnp.stack(srt[1:], -1), srt[0], r=rows * n_trows,
+                    c=pl_, interpret=SCATTER_INTERPRET,
+                )
+            else:
+                virt = jnp.zeros((rows * n_trows, pl_), jnp.float32)
+                for k in range(Keff):
+                    key_k, pay_k = _stream(k)
+                    srt = jax.lax.sort(
+                        (key_k, *(pay_k[:, j] for j in range(pl_))),
+                        num_keys=1)
+                    virt = virt + pk.sorted_scatter_add(
+                        jnp.stack(srt[1:], -1), srt[0],
+                        r=rows * n_trows, c=pl_,
+                        interpret=SCATTER_INTERPRET,
+                    )
+            fm = jnp.asarray(fold_m)
+            if paired:
+                v = virt.reshape(rows, n_trows, 2, 2 * L)
+                d_table = (
+                    v[:, :, 0].reshape(rows, n_trows * 2 * L) @ fm
+                    + jnp.roll(
+                        v[:, :, 1].reshape(rows, n_trows * 2 * L) @ fm,
+                        1, axis=0)
+                )
+            else:
+                d_table = virt.reshape(rows, n_trows * 2 * L) @ fm
+        elif compact:
             # LARGE-B levels (nerfplayer prop fields: B = 1M samples):
             # permuting the dense [B, c_pad] bf16 gw stream reads a
             # >=128 MB source at the large-source gather rate
@@ -825,11 +935,12 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
             d_table = _unfold(d_virt)
         zi = np.zeros(idxs.shape, dtype=jax.dtypes.float0)
         zc = np.zeros(ch_a.shape, dtype=jax.dtypes.float0)
+        zt = np.zeros(t_row.shape, dtype=jax.dtypes.float0)
         return (d_table.astype(lvl_table.dtype), zi, d_ws_out,
-                zc, d_wa, zc, d_wb)
+                zc, d_wa, zc, d_wb, zt)
 
     op.defvjp(op_fwd, op_bwd)
-    return op(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b)
+    return op(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b, t_row)
 
 
 def hash_grid_encode(
@@ -869,6 +980,8 @@ def hash_grid_encode(
         tri = tri.reshape(B, cfg.level_dim, 4)
         w_a, ch_a = tri[..., 0], tri[..., 1].astype(jnp.int32)
         w_b, ch_b = tri[..., 2], tri[..., 3].astype(jnp.int32)
+        t_row = get_temporal_row(cfg, time)
+        fold_m = temporal_fold_matrix(cfg)
 
     corner_offsets = np.stack(
         np.meshgrid(*([np.arange(2)] * D), indexing="ij"), axis=-1
@@ -986,6 +1099,7 @@ def hash_grid_encode(
                 )
                 outputs.append(_hash_level_apply_temporal(
                     lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
+                    t_row=t_row, fold_m=fold_m,
                     input_grads=input_grads, paired=paired,
                 ))
             else:

@@ -342,6 +342,8 @@ def test_temporal_wide_rows_full_line_scatter(monkeypatch):
 
     g_ref = jax.grad(loss)(params)
     monkeypatch.setattr(hg, "SCATTER_INTERPRET", True)
+    # pin the branch this test targets (trowkey would otherwise take it)
+    monkeypatch.setattr(hg, "_TROWKEY_ENABLE", False)
     g_new = jax.grad(loss)(params)
     s = np.abs(np.asarray(g_ref["embeddings"])).max() + 1e-6
     np.testing.assert_allclose(
@@ -401,6 +403,8 @@ def test_temporal_compact_stream_backward_parity(monkeypatch):
     import soccernerfs_tpu.ops.hash_grid as hg
 
     monkeypatch.setattr(hg, "SCATTER_INTERPRET", True)
+    # pin the branch this test targets (trowkey would otherwise take it)
+    monkeypatch.setattr(hg, "_TROWKEY_ENABLE", False)
     cfg = HashGridConfig(
         temporal_dim=8, num_levels=3, level_dim=2, base_resolution=8,
         per_level_scale=2.0, log2_hashmap_size=8,
@@ -445,6 +449,8 @@ def test_temporal_paired_parity(monkeypatch):
     import soccernerfs_tpu.ops.hash_grid as hg
 
     monkeypatch.setattr(hg, "SCATTER_INTERPRET", True)
+    # pin the branch this test targets (trowkey would otherwise take it)
+    monkeypatch.setattr(hg, "_TROWKEY_ENABLE", False)
     rng = np.random.default_rng(31)
     x = jnp.asarray(rng.uniform(0, 1, (160, 3)).astype(np.float32))
     t = jnp.asarray(rng.uniform(0.05, 0.95, (160,)).astype(np.float32))
@@ -565,3 +571,47 @@ def test_zline_vs_xor_fit_quality():
     assert losses["zline"] < 1.25 * losses["xor"], losses
     # and both actually fit (initial loss is ~0.5)
     assert losses["zline"] < 0.1, losses
+
+
+def test_temporal_trowkey_backward_parity(monkeypatch):
+    """The temporal-row-keyed table gradient (key = idx*(T-1) + t_row,
+    compact 2L-value payload, static one-hot MXU fold) must match the
+    dense-stream gradient on the xor, zline-paired and dense-level
+    paths, in BOTH the merged-sort and per-corner regimes, with and
+    without input grads."""
+    import soccernerfs_tpu.ops.hash_grid as hg
+
+    monkeypatch.setattr(hg, "SCATTER_INTERPRET", True)
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.uniform(0, 1, (160, 3)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0.05, 0.95, (160,)).astype(np.float32))
+
+    for scheme in ("xor", "zline"):
+        cfg = HashGridConfig(
+            temporal_dim=8, num_levels=3, level_dim=2, base_resolution=4,
+            per_level_scale=2.5, log2_hashmap_size=7, hash_scheme=scheme,
+        )
+        params = init_hash_grid(jax.random.PRNGKey(5), cfg, std=0.5)
+        cot = jnp.asarray(rng.standard_normal(
+            (160, cfg.num_levels * cfg.level_dim), dtype=np.float32))
+
+        def loss(p, x, t, ig):
+            return jnp.vdot(
+                hash_grid_encode(cfg, p, x, t, input_grads=ig), cot)
+
+        monkeypatch.setattr(hg, "_TROWKEY_ENABLE", False)
+        ref = {ig: jax.grad(loss, argnums=(0, 1, 2))(params, x, t, ig)
+               for ig in (True, False)}
+        monkeypatch.setattr(hg, "_TROWKEY_ENABLE", True)
+        for merge_keys in (10**9, 1):  # merged-sort and per-corner
+            monkeypatch.setattr(hg, "_TROWKEY_MERGE_KEYS", merge_keys)
+            for ig in (True, False):
+                g_n, gx_n, gt_n = jax.grad(loss, argnums=(0, 1, 2))(
+                    params, x, t, ig)
+                g_r, gx_r, gt_r = ref[ig]
+                for a, b in [(g_n["embeddings"], g_r["embeddings"]),
+                             (gx_n, gx_r), (gt_n, gt_r)]:
+                    s = np.abs(np.asarray(b)).max() + 1e-6
+                    np.testing.assert_allclose(
+                        np.asarray(a) / s, np.asarray(b) / s, atol=2e-2,
+                        err_msg=f"{scheme} merge_keys={merge_keys} ig={ig}")
