@@ -244,14 +244,16 @@ def render_main() -> None:
     }))
 
 
-def families_main(which=None) -> None:
+def families_main(which=None, json_path=None) -> None:
     """Per-family TPU throughput at REGISTRY-DEFAULT model workloads.
 
     Emits one JSON line per method: ms/step + train rays/s (same metric of
     record as the primary line; ref nerfstudio engine/trainer.py:225-231).
     Uses the real Trainer on synthetic fixtures so raygen/datamanager/
     dynamic-batch behavior all match production; model hyperparameters are
-    the registry defaults (configs/method_configs.py)."""
+    the registry defaults (configs/method_configs.py).  ``--json PATH``
+    additionally writes all records to one artifact file (the per-family
+    numbers of record next to BENCH_r*.json)."""
     import copy
     import dataclasses  # noqa: F401  (kept for parity with callers)
     import pathlib
@@ -292,6 +294,7 @@ def families_main(which=None) -> None:
         tmp / "bstyle", num_cameras=4, num_steps=4, h=96, w=96
     )
     sit = make_sitcoms3d_fixture(tmp / "sitcoms3d", num_cameras=4, h=96, w=96)
+    records = []
     for method in methods:
         try:
             cfg = copy.deepcopy(method_configs[method])
@@ -346,7 +349,7 @@ def families_main(which=None) -> None:
                 tot_dt += dt
             best = max(windows)
             med = sorted(w[0] for w in windows)[len(windows) // 2]
-            print(json.dumps({
+            rec = {
                 "metric": f"{method}_train_rays_per_sec_per_chip",
                 "value": round(best[0], 1),
                 "unit": "rays/s",
@@ -354,14 +357,21 @@ def families_main(which=None) -> None:
                 "rolling_rays_per_sec": round(tot_rays / tot_dt, 1),
                 "ms_per_step": round(best[1], 1),
                 "rays_per_batch": round(best[2]),
-            }), flush=True)
+            }
+            print(json.dumps(rec), flush=True)
+            records.append(rec)
             del trainer
         except Exception as e:  # one OOM must not kill the sweep
             traceback.print_exc()
-            print(json.dumps({
+            rec = {
                 "metric": f"{method}_train_rays_per_sec_per_chip",
                 "error": f"{type(e).__name__}: {e}"[:200],
-            }), flush=True)
+            }
+            print(json.dumps(rec), flush=True)
+            records.append(rec)
+    if json_path:
+        pathlib.Path(json_path).write_text(
+            json.dumps(records, indent=2), "utf8")
 
 
 def scaling_child(n_devices: int) -> None:
@@ -532,7 +542,10 @@ if __name__ == "__main__":
     elif "--render" in sys.argv:
         render_main()
     elif "--families" in sys.argv:
-        rest = [a for a in sys.argv[1:] if not a.startswith("--")]
-        families_main(rest or None)
+        out = (sys.argv[sys.argv.index("--json") + 1]
+               if "--json" in sys.argv else None)
+        rest = [a for a in sys.argv[1:]
+                if not a.startswith("--") and a != out]
+        families_main(rest or None, json_path=out)
     else:
         main()

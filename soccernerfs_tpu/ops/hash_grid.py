@@ -824,6 +824,9 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
             # (sorting Keff*B=4M keys in one pass measured SLOWER than
             # Keff sorts of B — 76.0 vs 61.7 ms/level at prop1,
             # scripts/diag_temporal.py trowkey)
+            # accumulate/fold on the lane-friendly 2D [rows, n_trows*pl_]
+            # view — [rows*n_trows, pl_]-shaped f32 intermediates pad
+            # pl_ (4/8) lanes to 128 when XLA assigns them row-major
             if Keff * B <= _TROWKEY_MERGE_KEYS:
                 streams = [_stream(k) for k in range(Keff)]
                 keys = jnp.concatenate([s[0] for s in streams])
@@ -833,9 +836,9 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
                 virt = pk.sorted_scatter_add(
                     jnp.stack(srt[1:], -1), srt[0], r=rows * n_trows,
                     c=pl_, interpret=SCATTER_INTERPRET,
-                )
+                ).reshape(rows, n_trows * pl_)
             else:
-                virt = jnp.zeros((rows * n_trows, pl_), jnp.float32)
+                virt = jnp.zeros((rows, n_trows * pl_), jnp.float32)
                 for k in range(Keff):
                     key_k, pay_k = _stream(k)
                     srt = jax.lax.sort(
@@ -845,18 +848,23 @@ def _hash_level_apply_temporal(lvl_table, idxs, ws, ch_a, w_a, ch_b, w_b,
                         jnp.stack(srt[1:], -1), srt[0],
                         r=rows * n_trows, c=pl_,
                         interpret=SCATTER_INTERPRET,
-                    )
-            fm = jnp.asarray(fold_m)
+                    ).reshape(rows, n_trows * pl_)
             if paired:
-                v = virt.reshape(rows, n_trows, 2, 2 * L)
-                d_table = (
-                    v[:, :, 0].reshape(rows, n_trows * 2 * L) @ fm
-                    + jnp.roll(
-                        v[:, :, 1].reshape(rows, n_trows * 2 * L) @ fm,
-                        1, axis=0)
-                )
+                # Fold both z-corners straight off the 2D view with two
+                # zero-interleaved fold matrices.  The 4D
+                # [rows, n_trows, 2, 2L] reshape + z-slices this replaces
+                # forced a row-major T(2,128) layout in the full train
+                # step — 4->128 lane padding, a 15.75 GB HLO temp at the
+                # nerfplayer main level (rows=2^18, T-1=63).
+                fm3 = np.asarray(fold_m).reshape(n_trows, 2 * L, c_row)
+                z = np.zeros_like(fm3)
+                fm0 = jnp.asarray(np.concatenate([fm3, z], 1)
+                                  .reshape(n_trows * pl_, c_row))
+                fm1 = jnp.asarray(np.concatenate([z, fm3], 1)
+                                  .reshape(n_trows * pl_, c_row))
+                d_table = virt @ fm0 + jnp.roll(virt @ fm1, 1, axis=0)
             else:
-                d_table = virt.reshape(rows, n_trows * 2 * L) @ fm
+                d_table = virt @ jnp.asarray(fold_m)
         elif compact:
             # LARGE-B levels (nerfplayer prop fields: B = 1M samples):
             # permuting the dense [B, c_pad] bf16 gw stream reads a
