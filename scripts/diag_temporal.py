@@ -464,6 +464,119 @@ def trowkey_ablation(name, B, rows, c_row, T, L=2, paired=True,
           st_trowkey_percorner, jnp.float32(0.0), lv, n1=n1, n2=n2)
 
 
+def pick_ablation(name, B, c_row, T, L=2, n1=3, n2=9):
+    """Window-pick + u-build reformulations (r5).
+
+    The pick channels are a STATIC function of the temporal-table row and
+    the interpolation weights are per-sample scalars, so both the forward
+    pick and the backward's u = d(out)/d(acc) admit an MXU form:
+
+        pick:  Y = acc @ P            (P [c_row, (T-1)*2L] static one-hot)
+               out_j = sum_t (t_row == t) * Y[:, t*2L + j]   (block select)
+        u:     G[b, t*2L+j] = (t_row[b]==t) * wv[b,j] * g[b, j%L]
+               u = G @ fold_m         (the SAME static fold matrix the
+                                       trowkey backward already uses)
+
+    vs the current compare-select VPU reductions (_window_pick / op_bwd's
+    u loop).  Floors: the pick's irreducible work is 2L lane-reduces of
+    [B, c_row] (pick_floor) and u's is one [B, c_row] broadcast-mult
+    (u_floor)."""
+    n_trows = T - 1
+    lv = make_level(B, 1 << 17, c_row, temporal_dim=c_row - L,
+                    level_dim=L)
+    t_row = jnp.asarray(rng.integers(0, n_trows, B).astype(np.int32))
+    # static pick tables (channel picks per temporal row)
+    cha_tab = rng.integers(0, c_row - 1, (n_trows, L)).astype(np.int32)
+    chb_tab = cha_tab + 1
+    P = np.zeros((c_row, n_trows * 2 * L), np.float32)
+    for t in range(n_trows):
+        for l in range(L):
+            P[cha_tab[t, l], t * 2 * L + l] = 1.0
+            P[chb_tab[t, l], t * 2 * L + L + l] = 1.0
+    fold_m = jnp.asarray(P.T.copy())  # [(T-1)*2L, c_row]
+    Pj = jnp.asarray(P)
+    ch_a = jnp.asarray(cha_tab)[t_row]  # [B, L] per-sample picks
+    ch_b = jnp.asarray(chb_tab)[t_row]
+    lv = dict(lv, ch_a=ch_a, ch_b=ch_b, t_row=t_row)
+    print(f"== {name} pick: B={B} c_row={c_row} T={T} L={L} ==")
+
+    def mk_acc(a, c):
+        return jnp.broadcast_to(
+            (a["w_a"][:, :1] + c), (B, c_row)).astype(jnp.float32)
+
+    def st_pick_cur(c, a):
+        out = hg._window_pick(mk_acc(a, c), a["ch_a"], a["w_a"],
+                              a["ch_b"], a["w_b"])
+        return c + jnp.sum(out) * 1e-20
+
+    bench(f"{name} pick CURRENT (compare-select)", st_pick_cur,
+          jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+    def st_pick_floor(c, a):
+        acc = mk_acc(a, c)
+        outs = [jnp.sum(acc * (j + 1.0), -1) for j in range(2 * L)]
+        return c + jnp.sum(jnp.stack(outs, -1)) * 1e-20
+
+    bench(f"{name} pick FLOOR (2L lane reduces)", st_pick_floor,
+          jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+    def st_pick_mxu(c, a, f32=False):
+        acc = mk_acc(a, c)
+        if f32:
+            Y = acc @ Pj
+        else:
+            Y = (acc.astype(jnp.bfloat16)
+                 @ Pj.astype(jnp.bfloat16)).astype(jnp.float32)
+        tmask = (a["t_row"][:, None]
+                 == jnp.arange(n_trows, dtype=jnp.int32)[None, :])
+        sel = [jnp.sum(jnp.where(tmask, Y[:, j::2 * L], 0.0), -1)
+               for j in range(2 * L)]
+        out = jnp.stack(
+            [a["w_a"][:, l] * sel[l] + a["w_b"][:, l] * sel[L + l]
+             for l in range(L)], -1)
+        return c + jnp.sum(out) * 1e-20
+
+    bench(f"{name} pick MXU bf16 (matmul+block select)", st_pick_mxu,
+          jnp.float32(0.0), lv, n1=n1, n2=n2)
+    bench(f"{name} pick MXU f32", lambda c, a: st_pick_mxu(c, a, True),
+          jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+    def st_u_cur(c, a):
+        g = a["g"] + c
+        ch_i = jnp.arange(c_row, dtype=jnp.int32)[None, :]
+        u = 0.0
+        for l in range(L):
+            u = u + g[:, l:l + 1] * (
+                a["w_a"][:, l:l + 1] * (a["ch_a"][:, l:l + 1] == ch_i)
+                + a["w_b"][:, l:l + 1] * (a["ch_b"][:, l:l + 1] == ch_i))
+        return c + jnp.sum(u) * 1e-20
+
+    bench(f"{name} u CURRENT (compare-select)", st_u_cur,
+          jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+    def st_u_mxu(c, a):
+        g = a["g"] + c
+        gv = jnp.concatenate([a["w_a"] * g, a["w_b"] * g], -1)  # [B, 2L]
+        tmask = (a["t_row"][:, None]
+                 == jnp.arange(n_trows, dtype=jnp.int32)[None, :])
+        # G [B, n_trows*2L]: gv tiled into the t_row block
+        G = (tmask[:, :, None] * gv[:, None, :]).reshape(
+            B, n_trows * 2 * L)
+        u = G @ fold_m
+        return c + jnp.sum(u) * 1e-20
+
+    bench(f"{name} u MXU (block expand+matmul)", st_u_mxu,
+          jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+    def st_u_floor(c, a):
+        g = a["g"] + c
+        u = jnp.broadcast_to(g[:, :1], (B, c_row)) * a["w_a"][:, :1]
+        return c + jnp.sum(u) * 1e-20
+
+    bench(f"{name} u FLOOR (1 broadcast-mult)", st_u_floor,
+          jnp.float32(0.0), lv, n1=n1, n2=n2)
+
+
 def encode_ab():
     """Whole-encode A/B at the nerfplayer field scales."""
     from soccernerfs_tpu.ops.hash_grid import HashGridConfig, hash_grid_encode
@@ -611,6 +724,9 @@ def main():
                          paired=True)
     if which in ("fwd", "all"):
         fwd_ablation("prop1", 1_048_576, 5, 32, 64)
+    if which in ("pick", "all"):
+        pick_ablation("prop1", 1_048_576, 34, T=32)
+        pick_ablation("main", 196_608, 66, T=64)
     if which in ("encode", "all"):
         encode_ab()
 
