@@ -43,6 +43,13 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0) -> jnp
     crops that same border from the SSIM map before averaging — leaving
     exactly the windows fully inside the original image.
 
+    The window convolutions run at Precision.HIGHEST: on TPU the default
+    conv precision is bf16, and the variance terms E[x^2] - mu^2 cancel
+    catastrophically at bf16 (values ~1, variances ~1e-4) — measured
+    SSIM errors up to 0.2 absolute on flat fixtures, including
+    impossible values > 1.  f32-exact convs restore CPU/TPU agreement
+    to ~1e-6 (tests/test_ops_numerics.py pins a float64 reference).
+
     Args:
         pred/target: [H, W, C] in [0, data_range].
     """
@@ -59,6 +66,7 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0) -> jnp
             jnp.transpose(kernel, (3, 2, 0, 1)),  # [1, 1, 11, 11]
             window_strides=(1, 1),
             padding="VALID",
+            precision=jax.lax.Precision.HIGHEST,
         )
         return out[:, 0]  # [C, H', W']
 

@@ -177,3 +177,44 @@ def test_sh_orthonormality():
     Y = np.asarray(components_from_spherical_harmonics(3, jnp.asarray(d)))
     gram = (Y.T @ Y) / d.shape[0] * 4 * np.pi
     np.testing.assert_allclose(gram, np.eye(9), atol=0.15)
+
+
+def test_ssim_matches_float64_reference():
+    """SSIM against a direct float64 numpy implementation (same 11x11
+    sigma=1.5 window, valid-interior mean).  The jax version runs its
+    window convs at Precision.HIGHEST — at the TPU default (bf16 convs)
+    the E[x^2] - mu^2 variance terms cancel catastrophically and SSIM
+    comes out wrong by up to 0.2, including impossible values > 1
+    (found via the r5 CPU-vs-TPU quality A/B; ref metric of record:
+    models/kplanes.py:473)."""
+    from scipy.signal import convolve2d
+
+    from soccernerfs_tpu.utils.metrics import ssim
+
+    rng = np.random.default_rng(3)
+    h = w = 48
+    base = rng.uniform(0.3, 0.7, (h, w, 3))
+    pred = np.clip(base + rng.normal(0, 0.02, base.shape), 0, 1)
+
+    x = np.arange(11, dtype=np.float64) - 5
+    g = np.exp(-(x**2) / (2 * 1.5**2))
+    g /= g.sum()
+    win = np.outer(g, g)
+
+    def filt(img):
+        return np.stack(
+            [convolve2d(img[:, :, c], win, mode="valid") for c in range(3)],
+            axis=-1)
+
+    mu_x, mu_y = filt(pred), filt(base)
+    var_x = filt(pred * pred) - mu_x**2
+    var_y = filt(base * base) - mu_y**2
+    cov = filt(pred * base) - mu_x * mu_y
+    c1, c2 = 0.01**2, 0.03**2
+    ref = np.mean((2 * mu_x * mu_y + c1) * (2 * cov + c2)
+                  / ((mu_x**2 + mu_y**2 + c1) * (var_x + var_y + c2)))
+
+    got = float(ssim(jnp.asarray(pred, jnp.float32),
+                     jnp.asarray(base, jnp.float32)))
+    assert got <= 1.0 + 1e-6, f"SSIM {got} > 1 is impossible"
+    np.testing.assert_allclose(got, ref, atol=2e-5)
