@@ -323,6 +323,12 @@ def families_main(which=None, json_path=None) -> None:
             cfg.set_timestamp()
             trainer = Trainer(cfg).setup()
             warmup, n_windows, w_steps = 12, 3, 8
+            if getattr(cfg.pipeline, "dynamic_batch", False):
+                # occupancy pruning walks the rays/batch bucket up during
+                # early steps; measure steady state, not the climb's
+                # first-visit compiles (the trainer's bucket hysteresis
+                # bounds flips, but new buckets still compile once)
+                warmup = 28
             for step in range(warmup):
                 m = trainer.train_iteration(step)
             float(jax.device_get(m["Train Loss"]))  # drain the queue

@@ -546,6 +546,7 @@ class Trainer:
         dynamic_batch = getattr(config.pipeline, "dynamic_batch", False)
         target_samples = getattr(config.pipeline, "target_num_samples", 1 << 18)
         base_rays = rays_per_batch
+        db_lg = None  # EMA of log2(desired rays/batch), see below
         t_last_log = time.time()
 
         for step in range(start_step, num_iters):
@@ -566,8 +567,18 @@ class Trainer:
                 num_samples = max(float(jax.device_get(metrics["num_samples_per_batch"])), 1.0)
                 cur = self.datamanager.train_pixel_sampler.num_rays_per_batch
                 desired = cur * target_samples / num_samples
-                bucket = int(2 ** np.clip(np.round(np.log2(desired)), 6, np.log2(base_rays * 4)))
-                if bucket != cur:
+                # hysteresis on the bucket switch: every NEW bucket shape
+                # is a fresh XLA compile (minutes through the remote
+                # toolchain) and even a cached flip drains the async
+                # queue, so track an EMA of log2(desired) and move only
+                # when it sits clearly past the bucket midpoint (0.25
+                # octave margin).  Large occupancy-warmup jumps still
+                # cross the margin within 1-2 steps; boundary noise no
+                # longer ping-pongs the shape.
+                lg = float(np.log2(desired))
+                db_lg = lg if db_lg is None else 0.7 * db_lg + 0.3 * lg
+                bucket = int(2 ** np.clip(np.round(db_lg), 6, np.log2(base_rays * 4)))
+                if bucket != cur and abs(db_lg - np.log2(cur)) > 0.75:
                     self.datamanager.train_pixel_sampler.set_num_rays_per_batch(bucket)
                 rays_per_batch = self.datamanager.train_pixel_sampler.num_rays_per_batch
 
