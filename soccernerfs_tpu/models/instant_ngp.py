@@ -96,7 +96,8 @@ def update_aux(cfg: Config, params: dict, aabb, step, aux: dict, rng) -> dict:
 
     def do_update(occs):
         return update_occupancy_grid(
-            occ, occs, aabb, density_fn, rng, cfg.render_step_size
+            occ, occs, aabb, density_fn, rng, cfg.render_step_size,
+            step=step,
         )
 
     occs = jax.lax.cond(

@@ -111,7 +111,8 @@ def update_aux(cfg: Config, params: dict, aabb, step, aux: dict, rng) -> dict:
 
     def do_update(occs):
         return update_occupancy_grid(
-            cfg.occ, occs, aabb, density_fn, rng_u, cfg.render_step_size
+            cfg.occ, occs, aabb, density_fn, rng_u, cfg.render_step_size,
+            step=step,
         )
 
     occs = jax.lax.cond(

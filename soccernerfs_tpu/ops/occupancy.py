@@ -62,6 +62,7 @@ def update_occupancy_grid(
     density_fn: Callable[[jnp.ndarray], jnp.ndarray],
     rng: jax.Array,
     render_step_size: float,
+    step: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """One EMA update from jittered cell-center density queries.
 
@@ -69,16 +70,69 @@ def update_occupancy_grid(
     is compared pre-threshold; we store max(occ * decay, density) like
     nerfacc's _update (density itself, thresholded later against
     alpha-derived cutoff).
+
+    Cell selection follows nerfacc's warmup split (ref: nerfacc
+    OccupancyGrid.every_n_step / _sample_uniform_and_occupied_cells):
+    while ``step < warmup_steps`` EVERY cell is probed; afterwards only
+    ``n_cells // 4`` are — half drawn uniformly, half from currently
+    occupied cells.  The occupied draw is a static-shape CDF sample
+    (with replacement) in place of nerfacc's variable-length
+    nonzero+randperm, which has no static-shape equivalent; unprobed
+    cells keep their EMA untouched, duplicates resolve by max — both
+    exactly nerfacc's ``occs[idx] = max(occs[idx]*decay, new)``
+    semantics.  The density probe is the dominant cost of the update
+    (n_cells field evaluations — seconds at NGP scale), so the 4x
+    post-warmup cut is the difference between the probe dominating and
+    disappearing into the step mix.  ``step=None`` keeps the
+    all-cells behavior (used by tests / non-step callers).
     """
     r = cfg.resolution
     n_cells = r * r * r
-    cell = jnp.arange(n_cells)
-    ijk = jnp.stack([cell // (r * r), (cell // r) % r, cell % r], axis=-1)
-    jitter = jax.random.uniform(rng, (n_cells, 3))
-    pos01 = (ijk + jitter) / r
-    positions = aabb[0] + pos01 * (aabb[1] - aabb[0])
-    density = density_fn(positions)  # [n_cells]
-    return jnp.maximum(occs * cfg.ema_decay, density * render_step_size)
+    k_jit, k_uni, k_occ = jax.random.split(rng, 3)
+
+    def _probe(cells: jnp.ndarray) -> jnp.ndarray:
+        ijk = jnp.stack(
+            [cells // (r * r), (cells // r) % r, cells % r], axis=-1
+        )
+        jitter = jax.random.uniform(k_jit, (cells.shape[0], 3))
+        pos01 = (ijk + jitter) / r
+        positions = aabb[0] + pos01 * (aabb[1] - aabb[0])
+        return density_fn(positions) * render_step_size
+
+    def full_update(occs: jnp.ndarray) -> jnp.ndarray:
+        density = _probe(jnp.arange(n_cells))
+        return jnp.maximum(occs * cfg.ema_decay, density)
+
+    if step is None:
+        return full_update(occs)
+
+    m = max(n_cells // 4, 1)
+    m_uni = m // 2
+    m_occ = m - m_uni
+
+    def sampled_update(occs: jnp.ndarray) -> jnp.ndarray:
+        uni = jax.random.randint(k_uni, (m_uni,), 0, n_cells)
+        # occupied-cell draw: uniform over the binarized grid via its
+        # CDF (all-empty grids degrade to uniform through the epsilon)
+        w = occupancy_binary(cfg, occs).astype(jnp.float32) + 1e-12
+        cdf = jnp.cumsum(w)
+        draws = jax.random.uniform(k_occ, (m_occ,)) * cdf[-1]
+        occ_cells = jnp.clip(
+            jnp.searchsorted(cdf, draws), 0, n_cells - 1
+        ).astype(uni.dtype)
+        cells = jnp.concatenate([uni, occ_cells])
+        density = _probe(cells)
+        # duplicate-safe scatter: probed mask + per-cell max of the new
+        # contributions, then one elementwise select
+        probed = jnp.zeros((n_cells,), bool).at[cells].set(True)
+        dmax = jnp.zeros((n_cells,), occs.dtype).at[cells].max(density)
+        return jnp.where(
+            probed, jnp.maximum(occs * cfg.ema_decay, dmax), occs
+        )
+
+    return jax.lax.cond(
+        step < cfg.warmup_steps, full_update, sampled_update, occs
+    )
 
 
 def occupancy_lookup(

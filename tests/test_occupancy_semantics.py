@@ -132,3 +132,59 @@ def test_ema_update_and_binarize_properties():
     b = np.asarray(occ.occupancy_binary(cfg, occs3))
     thresh = min(float(occs3.mean()), 0.01)
     np.testing.assert_array_equal(b, np.asarray(occs3) > thresh)
+
+
+def test_warmup_vs_sampled_cell_updates():
+    """nerfacc warmup split (ref: OccGridEstimator.update_every_n_steps /
+    _sample_uniform_and_occupied_cells): step < warmup probes EVERY cell
+    (same result as the step-less call); afterwards only n_cells//4 are
+    probed — unprobed cells keep their EMA untouched — with half the
+    draws biased to currently occupied cells."""
+    cfg = occ.OccupancyGridConfig(
+        resolution=8, ema_decay=0.95, occ_threshold=0.01, warmup_steps=256
+    )
+    n_cells = 8**3
+    aabb = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
+    occs = jnp.asarray(
+        np.random.default_rng(0).uniform(0.0, 0.05, n_cells).astype(np.float32)
+    )
+    dens = lambda p: jnp.full((p.shape[0],), 3.0)  # noqa: E731
+    key = jax.random.PRNGKey(3)
+
+    # warmup: identical to the all-cells (step=None) update
+    full = occ.update_occupancy_grid(
+        cfg, occs, aabb, dens, key, render_step_size=0.1
+    )
+    warm = occ.update_occupancy_grid(
+        cfg, occs, aabb, dens, key, render_step_size=0.1,
+        step=jnp.asarray(10),
+    )
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(warm))
+    np.testing.assert_allclose(np.asarray(full), 0.3, rtol=1e-6)
+
+    # post-warmup: at most n_cells//4 distinct cells change, the rest
+    # are bit-identical; every changed cell shows the probe's density
+    out = np.asarray(
+        occ.update_occupancy_grid(
+            cfg, occs, aabb, dens, key, render_step_size=0.1,
+            step=jnp.asarray(500),
+        )
+    )
+    changed = out != np.asarray(occs)
+    assert 0 < changed.sum() <= n_cells // 4
+    np.testing.assert_allclose(out[changed], 0.3, rtol=1e-6)
+
+    # occupied bias: with a quarter of cells occupied, the occupied half
+    # of the draw concentrates there — occupied cells must be probed at
+    # a clearly higher rate than empty ones
+    occs_bias = jnp.zeros((n_cells,)).at[: n_cells // 4].set(1.0)
+    out_b = np.asarray(
+        occ.update_occupancy_grid(
+            cfg, occs_bias, aabb, dens, jax.random.PRNGKey(11),
+            render_step_size=0.1, step=jnp.asarray(500),
+        )
+    )
+    changed_b = out_b != np.asarray(occs_bias)
+    occ_rate = changed_b[: n_cells // 4].mean()
+    emp_rate = changed_b[n_cells // 4 :].mean()
+    assert occ_rate > 2.0 * emp_rate
