@@ -244,7 +244,7 @@ def render_main() -> None:
     }))
 
 
-def families_main(which=None, json_path=None) -> None:
+def families_main(which=None, json_path=None, steady=False) -> None:
     """Per-family TPU throughput at REGISTRY-DEFAULT model workloads.
 
     Emits one JSON line per method: ms/step + train rays/s (same metric of
@@ -253,7 +253,11 @@ def families_main(which=None, json_path=None) -> None:
     dynamic-batch behavior all match production; model hyperparameters are
     the registry defaults (configs/method_configs.py).  ``--json PATH``
     additionally writes all records to one artifact file (the per-family
-    numbers of record next to BENCH_r*.json)."""
+    numbers of record next to BENCH_r*.json).  ``--steady`` warms
+    occupancy-grid methods past their 256-step nerfacc warmup so the
+    measured windows see the production steady state (sampled cell
+    probes) instead of the warmup's full-grid probes — the long-run
+    number a 30k-iteration training converges to (table in PERF.md)."""
     import copy
     import dataclasses  # noqa: F401  (kept for parity with callers)
     import pathlib
@@ -329,6 +333,9 @@ def families_main(which=None, json_path=None) -> None:
                 # first-visit compiles (the trainer's bucket hysteresis
                 # bounds flips, but new buckets still compile once)
                 warmup = 28
+            occ_cfg = getattr(cfg.pipeline.model, "occ", None)
+            if steady and occ_cfg is not None:
+                warmup = occ_cfg.warmup_steps + 4
             for step in range(warmup):
                 m = trainer.train_iteration(step)
             float(jax.device_get(m["Train Loss"]))  # drain the queue
@@ -364,6 +371,8 @@ def families_main(which=None, json_path=None) -> None:
                 "ms_per_step": round(best[1], 1),
                 "rays_per_batch": round(best[2]),
             }
+            if steady and occ_cfg is not None:
+                rec["phase"] = "steady_state"  # windows after occ warmup
             print(json.dumps(rec), flush=True)
             records.append(rec)
             del trainer
@@ -552,6 +561,7 @@ if __name__ == "__main__":
                if "--json" in sys.argv else None)
         rest = [a for a in sys.argv[1:]
                 if not a.startswith("--") and a != out]
-        families_main(rest or None, json_path=out)
+        families_main(rest or None, json_path=out,
+                      steady="--steady" in sys.argv)
     else:
         main()
